@@ -1,0 +1,118 @@
+"""Composite enhancement ops: preprocess, unsharp, adaptive sharpen, ensemble.
+
+Each function reproduces one reference pipeline stage as a single jittable XLA
+computation (the reference chains separate OpenCV calls with host round-trips;
+here XLA fuses the chain and the image stays on device):
+
+- preprocess:        /root/reference/nesr/nesr.py:668-689  (NlMeans + CLAHE-on-L)
+- unsharp_mask:      nesr.py:739-740, :1068-1069           (1.5*img - 0.5*blur(sigma=3))
+- masked_sharpen:    nesr.py:731-747   (segmentation-guided sharpening blend)
+- adaptive_sharpen:  nesr.py:1056-1084 (detail-masked unsharp postprocess)
+- ensemble:          nesr.py:1033-1054 (align to max size + uniform average)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from neural_enhanced_super_resolution_tpu.ops.blur import (dilate as _dilate,
+                                                            gaussian_blur as _gaussian_blur)
+from neural_enhanced_super_resolution_tpu.ops.clahe import clahe as _clahe_apply
+from neural_enhanced_super_resolution_tpu.ops.color import (lab_to_rgb as _lab_to_rgb,
+                                                            rgb_to_gray as _rgb_to_gray,
+                                                            rgb_to_lab as _rgb_to_lab)
+from neural_enhanced_super_resolution_tpu.ops.nlmeans import (
+    nl_means_colored as _nl_means_colored)
+from neural_enhanced_super_resolution_tpu.ops.pointwise import (
+    add_weighted as _add_weighted, convert_scale_abs as _convert_scale_abs,
+    subtract as _subtract, threshold_binary as _threshold_binary)
+from neural_enhanced_super_resolution_tpu.ops.resize import resize as _resize_fn
+
+__all__ = ["preprocess", "unsharp_mask", "masked_sharpen", "adaptive_sharpen",
+           "ensemble"]
+
+
+def preprocess(img, denoise_level: float = 0.5) -> jax.Array:
+    """Denoise (NL-means, h = level*10) then CLAHE(2.0, 8x8) on the LAB L channel.
+
+    Mirrors _preprocess_image (/root/reference/nesr/nesr.py:668-689): denoising
+    only runs when denoise_level > 0; CLAHE always runs.
+    """
+    img = jnp.asarray(img)
+    if denoise_level > 0:
+        strength = float(denoise_level) * 10.0
+        img = _nl_means_colored(img, h=strength, h_color=strength,
+                                        template=7, search=21)
+    lab = _rgb_to_lab(img)
+    l_eq = _clahe_apply(lab[:, :, 0], clip_limit=2.0, tile_grid_size=(8, 8))
+    lab = jnp.concatenate([l_eq[:, :, None], lab[:, :, 1:]], axis=-1)
+    return _lab_to_rgb(lab)
+
+
+@jax.jit
+def unsharp_mask(img) -> jax.Array:
+    """sharpened = addWeighted(img, 1.5, GaussianBlur(img, 0, 3), -0.5, 0)."""
+    blurred = _gaussian_blur(img, (0, 0), 3.0)
+    return _add_weighted(img, 1.5, blurred, -0.5, 0.0)
+
+
+@jax.jit
+def masked_sharpen(img, mask) -> jax.Array:
+    """Segmentation-guided sharpening (nesr.py:731-747).
+
+    ``mask`` is a uint8 (H, W) object mask; it is dilated 3x3 once and the
+    unsharp-masked image replaces the original where mask == 1.
+    """
+    mask = _dilate(mask, 3, 1)
+    sharpened = unsharp_mask(img)
+    return jnp.where(mask[:, :, None] == 1, sharpened, img)
+
+
+@jax.jit
+def adaptive_sharpen(img) -> jax.Array:
+    """Detail-adaptive unsharp mask (_postprocess_image, nesr.py:1056-1084).
+
+    detail = |gray - blur(gray, sigma=2)| thresholded at 10 -> binary alpha;
+    output = img*(1-alpha) + unsharp(img)*alpha. Since alpha is binary, the
+    blend is an exact select.
+    """
+    gray = _rgb_to_gray(img)
+    low = _gaussian_blur(gray, (0, 0), 2.0)
+    variance = _subtract(gray, low)           # saturating: negatives clamp to 0
+    variance = _convert_scale_abs(variance)
+    alpha = _threshold_binary(variance, 10.0, 255.0)
+    sharpened = unsharp_mask(img)
+    return jnp.where(alpha[:, :, None] > 0, sharpened, img)
+
+
+def ensemble(images) -> jax.Array:
+    """Uniform-weight ensemble of model outputs (_ensemble_results, :1033-1054).
+
+    Aligns all images to the lexicographic max (h, w) — the reference's exact
+    (quirky) rule, not per-axis max — via Lanczos resize, then averages in f32
+    and truncates to uint8 (NumPy-cast semantics, not rounding).
+    """
+    if len(images) == 1:
+        return jnp.asarray(images[0])
+    shapes = [(int(im.shape[0]), int(im.shape[1])) for im in images]
+    target_h, target_w = max(shapes)
+    aligned = []
+    for im in images:
+        im = jnp.asarray(im)
+        if im.shape[0] != target_h or im.shape[1] != target_w:
+            im = _resize_fn(im, dsize=(target_w, target_h),
+                                interpolation="lanczos4")
+        aligned.append(im)
+    return _ensemble_mean(tuple(aligned))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _ensemble_mean(aligned: tuple) -> jax.Array:
+    w = 1.0 / len(aligned)
+    acc = jnp.zeros(aligned[0].shape, jnp.float32)
+    for im in aligned:
+        acc = acc + im.astype(jnp.float32) * w
+    return acc.astype(jnp.uint8)  # truncating cast, as the reference does
