@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Headline benchmark: RRDB x4 tiled upscaling throughput (MP input/s/chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
+
+Method: the flagship configuration from BASELINE.md — full-size RRDBNet
+(num_feat=64, num_block=23, 12-channel quirk mode exactly as the reference
+constructs it, /root/reference/nesr/nesr.py:216) runs the batched-tile path
+(parallel/tiling.process_tiled) over a 2048x2048 input with 512-px tiles and
+16-px halos in bf16. Steady-state timing after a warmup pass; throughput is
+*input* megapixels per second on one chip. vs_baseline is the ratio against
+the 30 MP/s/chip north-star target (the reference publishes no numbers —
+BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("NESR_COMPILE_CACHE_DIR",
+                      os.path.join(os.path.expanduser("~"), ".cache",
+                                   "nesr-jax"))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+        RRDBNetConfig, init_rrdbnet)
+    from neural_enhanced_super_resolution_tpu.parallel.tiling import (
+        extract_tiles, pad_to_grid, stitch_tiles)
+    from neural_enhanced_super_resolution_tpu.pipeline import _esrgan_jit
+    from neural_enhanced_super_resolution_tpu.runtime.device import (
+        enable_persistent_compilation_cache)
+
+    enable_persistent_compilation_cache()
+
+    H = W = int(os.environ.get("NESR_BENCH_SIZE", 2048))
+    TILE = int(os.environ.get("NESR_BENCH_TILE", 512))
+    HALO = 16
+    REPS = int(os.environ.get("NESR_BENCH_REPS", 3))
+
+    cfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=64,
+                        num_block=23, num_grow_ch=32)
+    params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
+
+    def run_once():
+        padded, oh, ow = pad_to_grid(image, TILE)
+        ny, nx = padded.shape[0] // TILE, padded.shape[1] // TILE
+        tiles = extract_tiles(padded, TILE, HALO)
+        out_tiles = _esrgan_jit(params, tiles, cfg, "bfloat16", False)
+        out = stitch_tiles(out_tiles, ny, nx, TILE * 4, HALO * 4)
+        return out[:oh * 4, :ow * 4]
+
+    # Warmup (compile)
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_once())
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_once())
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    mp = H * W / 1e6
+    mps = mp / best
+    target = 30.0  # BASELINE.md north star, MP/s/chip
+    result = {
+        "metric": "rrdb_x4_tiled_throughput",
+        "value": round(mps, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mps / target, 3),
+    }
+    print(json.dumps(result))
+    print(f"# size={H}x{W} tile={TILE} halo={HALO} reps={REPS} "
+          f"best={best:.3f}s compile={compile_s:.1f}s "
+          f"device={jax.devices()[0].device_kind}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

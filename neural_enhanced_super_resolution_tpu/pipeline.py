@@ -1,5 +1,455 @@
-"""Placeholder — real pipeline lands after ops/models."""
+"""SuperResolutionPipeline — the L4' orchestration core.
+
+API-compatible with the reference's pipeline
+(/root/reference/nesr/nesr.py:18-659): same constructor signature, config keys,
+``enhance_image(image_path, prompt) -> final_path`` contract, progress/image
+callback protocol, output naming, and the full graceful-degradation ladder.
+
+TPU-native internals (the *how* is new, SURVEY.md §7):
+  * the working image is a device array; stages chain as jitted XLA programs
+    (the reference round-trips host<->device numpy at every stage);
+  * ESRGAN runs as a batched tile forward over a uniform halo grid (one
+    compile, tiles on the conv batch dim) or, in parity_tiling mode, via the
+    reference-exact stitch arithmetic;
+  * precision policy: bf16 matmul/conv compute with f32 accumulation on TPU;
+  * every ladder rung (model-load failure -> feature off; ESRGAN 12ch -> 3ch
+    -> tiled-3ch(256) -> bicubic; per-tile bicubic; whole-image bicubic) is a
+    host-side dispatch decision, never traced control flow.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+    RRDBNetConfig, rrdbnet_forward)
+from neural_enhanced_super_resolution_tpu.models.weights import (
+    load_state_dict, rrdbnet_params_from_state_dict)
+from neural_enhanced_super_resolution_tpu.ops.blur import gaussian_blur
+from neural_enhanced_super_resolution_tpu.ops.enhance import (
+    adaptive_sharpen, ensemble, masked_sharpen, preprocess)
+from neural_enhanced_super_resolution_tpu.ops.resize import resize
+from neural_enhanced_super_resolution_tpu.parallel.tiling import (
+    process_tiled, process_with_tiling_parity)
+from neural_enhanced_super_resolution_tpu.runtime.config import merge_config
+from neural_enhanced_super_resolution_tpu.runtime.device import (
+    default_compute_dtype, determine_device,
+    enable_persistent_compilation_cache)
+from neural_enhanced_super_resolution_tpu.runtime.profiler import StageTimer
+
+logger = logging.getLogger("nesr")
+
+__all__ = ["SuperResolutionPipeline"]
 
 
-class SuperResolutionPipeline:  # pragma: no cover - replaced shortly
-    pass
+class SuperResolutionPipeline:
+    """Iterative multi-model super-resolution (reference-compatible API)."""
+
+    def __init__(self, device: str = "auto", config: dict | None = None):
+        enable_persistent_compilation_cache()
+        self.device = determine_device(device)
+        logger.info("Using device: %s", self.device)
+        self.config = merge_config(self.device, config)
+        if self.config["precision"] is None:
+            self.config["precision"] = default_compute_dtype(self.device)
+        os.makedirs(self.config["output_dir"], exist_ok=True)
+        self.models: dict = {}
+        self.timer = StageTimer()
+        self._init_models()
+
+    # ------------------------------------------------------------- models --
+
+    def _init_models(self):
+        """Deliberate no-op — models load lazily on first enhance
+        (mirrors nesr.py:134-137)."""
+
+    def _esrgan_weight_paths(self) -> list[str]:
+        """Search order mirroring the reference (nesr.py:181-188) plus the
+        NESR_MODELS_DIR override (downloader.py:56-59)."""
+        fname = "RealESRGAN_x2plus.pth"
+        home = os.path.expanduser("~")
+        candidates = []
+        if self.config.get("esrgan_model_path"):
+            candidates.append(self.config["esrgan_model_path"])
+        if "NESR_MODELS_DIR" in os.environ:
+            candidates.append(os.path.join(os.environ["NESR_MODELS_DIR"],
+                                           "weights", fname))
+        candidates += [
+            os.path.join(home, ".nesr", "models", "weights", fname),
+            os.path.join("models", "weights", fname),
+            os.path.join("weights", fname),
+            os.path.join(os.getcwd(), "models", "weights", fname),
+        ]
+        # safetensors alternatives are accepted alongside .pth
+        return candidates + [c[:-4] + ".safetensors"
+                             for c in candidates if c.endswith(".pth")]
+
+    def _load_models(self):
+        cfg = self.config
+        if cfg["use_esrgan"] and "esrgan" not in self.models:
+            try:
+                logger.info("Loading Real-ESRGAN model...")
+                arch = dict(num_in_ch=12, num_out_ch=3, scale=4, num_feat=64,
+                            num_block=23, num_grow_ch=32)
+                if cfg.get("esrgan_arch"):
+                    arch.update(cfg["esrgan_arch"])
+                model_cfg = RRDBNetConfig(**arch)
+                path = next((p for p in self._esrgan_weight_paths()
+                             if p and os.path.exists(p)), None)
+                if path is None:
+                    raise FileNotFoundError(
+                        "RealESRGAN_x2plus weights not found; run "
+                        "`python -m neural_enhanced_super_resolution_tpu "
+                        "--download_models` or set NESR_MODELS_DIR")
+                logger.info("Found ESRGAN model at: %s", path)
+                sd = load_state_dict(path)
+                params = rrdbnet_params_from_state_dict(
+                    sd, num_block=model_cfg.num_block)
+                self.models["esrgan"] = {"params": params, "cfg": model_cfg}
+                logger.info("Real-ESRGAN model loaded successfully")
+            except Exception as exc:  # ladder: feature disabled, continue
+                logger.error("Error loading Real-ESRGAN model: %s", exc)
+
+        if cfg["use_diffusion"] and "diffusion" not in self.models:
+            try:
+                logger.info("Loading Stable Diffusion upscaler...")
+                from neural_enhanced_super_resolution_tpu.models.diffusion import (
+                    load_upscale_pipeline)
+                self.models["diffusion"] = load_upscale_pipeline(
+                    cfg.get("diffusion_model_path"),
+                    compute_dtype=cfg["precision"])
+                logger.info("Stable Diffusion upscaler loaded successfully")
+            except Exception as exc:
+                logger.error("Error loading Stable Diffusion upscaler: %s", exc)
+                cfg["use_diffusion"] = False
+
+        if cfg["segment_enhancement"] and "segmentation" not in self.models:
+            try:
+                logger.info("Loading segmentation model for targeted "
+                            "enhancement...")
+                from neural_enhanced_super_resolution_tpu.models.segformer import (
+                    load_segformer)
+                self.models["segmentation"] = load_segformer(
+                    cfg.get("segmentation_model_path"),
+                    compute_dtype=cfg["precision"])
+                logger.info("Segmentation model loaded successfully")
+            except Exception as exc:
+                logger.error("Error loading segmentation model: %s", exc)
+                cfg["segment_enhancement"] = False
+
+    # ------------------------------------------------------------ helpers --
+
+    def _callback(self, stage, iteration, total, message):
+        cb = self.config.get("progress_callback")
+        if cb:
+            cb(stage, iteration, total, message)
+
+    @staticmethod
+    def _bicubic_upscale(image, factor):
+        h, w = image.shape[:2]
+        return resize(image, dsize=(int(w * factor), int(h * factor)),
+                      interpolation="bicubic")
+
+    # ------------------------------------------------------------- stages --
+
+    def _preprocess_image(self, image):
+        try:
+            return preprocess(image, self.config["denoise_level"])
+        except Exception as exc:  # ladder: skip step
+            logger.warning("Preprocessing failed: %s, skipping", exc)
+            return image
+
+    def _segment_and_enhance(self, image):
+        try:
+            seg = self.models.get("segmentation")
+            if seg is None:
+                return image
+            h, w = int(image.shape[0]), int(image.shape[1])
+            seg_map = seg.segment(np.asarray(image))  # (h', w') int32 classes
+            if seg_map.shape != (h, w):
+                seg_map = np.asarray(resize(
+                    seg_map.astype(np.uint8), dsize=(w, h),
+                    interpolation="nearest"))
+            mask = (seg_map > 0).astype(np.uint8)
+            # reference resizes the mask with default bilinear (nesr.py:732)
+            mask = np.asarray(resize(mask, dsize=(w, h),
+                                     interpolation="bilinear"))
+            return masked_sharpen(image, jnp.asarray(mask))
+        except Exception as exc:
+            logger.warning("Segmentation enhancement failed: %s", exc)
+            return image
+
+    # ESRGAN ----------------------------------------------------------------
+
+    def _esrgan_batch_forward(self, tiles_u8, three_channel: bool):
+        """(N, H, W, 3) uint8 RGB -> (N, 4H, 4W, 3) uint8 RGB.
+
+        Builds the reference's 12-channel input stack in BGR order
+        (nesr.py:845-903): [bgr, bgr*1.1, bgr*0.9, gaussianblur3(bgr)], or the
+        repeated 3-channel stack (nesr.py:924) in 3-channel mode.
+        """
+        entry = self.models["esrgan"]
+        return _esrgan_jit(entry["params"], jnp.asarray(tiles_u8),
+                           entry["cfg"], self.config["precision"],
+                           bool(three_channel))
+
+    def _apply_esrgan_12channel(self, image):
+        out = self._esrgan_batch_forward(jnp.asarray(image)[None], False)[0]
+        return out
+
+    def _apply_esrgan_3channel(self, image):
+        out = self._esrgan_batch_forward(jnp.asarray(image)[None], True)[0]
+        return out
+
+    def _apply_esrgan(self, image):
+        """Device-aware dispatch with the reference's fallback ladder
+        (nesr.py:754-843)."""
+        if not self.config["use_esrgan"] or "esrgan" not in self.models:
+            return None
+        h, w = int(image.shape[0]), int(image.shape[1])
+        megapixels = (h * w) / (1024 * 1024)
+
+        use_tiling = False
+        if self.config["enable_tiling"]:
+            threshold = self.config.get("max_megapixels",
+                                        8 if self.device == "tpu" else 2)
+            use_tiling = megapixels > threshold
+        use_3channel = self.config["force_3channel"]
+        if megapixels > 16:  # hard cap, reference nesr.py:787-790
+            use_tiling = True
+            use_3channel = True
+            logger.info("Forcing tiling and 3-channel mode for %.1f MP image",
+                        megapixels)
+        tile_size = self.config["max_tile_size"]
+
+        try:
+            if use_tiling:
+                logger.info("Using tiled processing with %dx%d tiles",
+                            tile_size, tile_size)
+                return self._esrgan_tiled(image, use_3channel, tile_size,
+                                          padding=16)
+            if use_3channel:
+                return self._apply_esrgan_3channel(image)
+            return self._apply_esrgan_12channel(image)
+        except Exception as exc:
+            logger.warning("ESRGAN processing failed: %s", exc)
+            try:
+                if not use_3channel:
+                    logger.info("Falling back to 3-channel mode")
+                    return self._apply_esrgan_3channel(image)
+                if not use_tiling:
+                    logger.info("Falling back to tiled processing")
+                    return self._esrgan_tiled(image, True, 256, padding=16)
+            except Exception as exc2:
+                logger.warning("Fallback also failed: %s", exc2)
+            logger.warning("All ESRGAN methods failed, using bicubic "
+                           "upscaling")
+            return self._bicubic_upscale(image,
+                                         self.config["upscale_factor"])
+
+    def _esrgan_tiled(self, image, three_channel, tile_size, padding):
+        upscale = self.config["upscale_factor"]
+        if self.config["parity_tiling"]:
+            proc = (self._apply_esrgan_3channel if three_channel
+                    else self._apply_esrgan_12channel)
+            return jnp.asarray(process_with_tiling_parity(
+                lambda t: np.asarray(proc(t)), np.asarray(image),
+                upscale_factor=upscale, tile_size=tile_size, padding=padding))
+        # TPU-fast path: batched uniform tiles, then one Lanczos resize to the
+        # reference's canvas geometry (the reference shrinks each 4x tile into
+        # a 2x canvas region; a single full-image resize is the fused form).
+        out4 = process_tiled(
+            lambda tiles: self._esrgan_batch_forward(tiles, three_channel),
+            image, tile_size=tile_size, halo=padding, scale=4,
+            batch_tiles=self.config.get("tile_batch"))
+        h, w = int(image.shape[0]), int(image.shape[1])
+        target = (int(w * upscale), int(h * upscale))
+        if out4.shape[1] == target[0] and out4.shape[0] == target[1]:
+            return out4
+        return resize(out4, dsize=target, interpolation="lanczos4")
+
+    # Diffusion -------------------------------------------------------------
+
+    def _apply_diffusion(self, image, prompt):
+        try:
+            if "diffusion" not in self.models:
+                return None
+            steps = self.config.get("num_inference_steps")
+            if steps is None:
+                steps = 20 if self.device == "tpu" else 10
+            result = self.models["diffusion"](
+                prompt=prompt, image=np.asarray(image), noise_level=20,
+                num_inference_steps=steps, guidance_scale=7.5)
+            return jnp.asarray(result)
+        except Exception as exc:
+            logger.warning("Diffusion-based upscaling failed: %s", exc)
+            return None
+
+    # Ensemble / postprocess ------------------------------------------------
+
+    def _ensemble_results(self, upscaled_images):
+        return ensemble(upscaled_images)
+
+    def _postprocess_image(self, image):
+        if self.config["adaptive_sharpening"]:
+            try:
+                return adaptive_sharpen(image)
+            except Exception as exc:
+                logger.warning("Adaptive sharpening failed: %s", exc)
+        return image
+
+    # --------------------------------------------------------------- main --
+
+    def _load_image(self, image_path):
+        from neural_enhanced_super_resolution_tpu.utils.io import imread_rgb
+        return imread_rgb(image_path)
+
+    def enhance_array(self, image: np.ndarray, prompt: str | None = None,
+                      iterations: int | None = None) -> np.ndarray:
+        """Array-in/array-out enhancement (the host-free core of
+        enhance_image). Input/output are RGB uint8."""
+        self._load_models()
+        if not self.models:
+            logger.warning("No models were loaded. Using basic upscaling only.")
+        iterations = iterations or self.config["iterations"]
+        if prompt is None and self.config["use_diffusion"]:
+            prompt = "a high resolution, detailed photograph"
+
+        current = jnp.asarray(image)
+        for iteration in range(iterations):
+            t0 = time.time()
+            logger.info("Starting iteration %d/%d", iteration + 1, iterations)
+            self._callback("Enhancement", iteration, iterations,
+                           f"Starting iteration {iteration+1}/{iterations}")
+
+            self._callback("Preprocessing", iteration, iterations,
+                           "Applying denoising and contrast enhancement")
+            with self.timer.stage("preprocess"):
+                current = jax.block_until_ready(
+                    self._preprocess_image(current))
+
+            if (self.config["segment_enhancement"]
+                    and "segmentation" in self.models):
+                self._callback("Segmentation", iteration, iterations,
+                               "Performing region-based analysis and "
+                               "enhancement")
+                with self.timer.stage("segmentation"):
+                    current = jax.block_until_ready(
+                        self._segment_and_enhance(current))
+
+            upscaled = []
+            if self.config["use_esrgan"] and "esrgan" in self.models:
+                logger.info("Applying Real-ESRGAN upscaling...")
+                self._callback("ESRGAN", iteration, iterations,
+                               "Applying Real-ESRGAN upscaling")
+                with self.timer.stage("esrgan"):
+                    result = jax.block_until_ready(
+                        self._apply_esrgan(current))
+                if result is not None:
+                    upscaled.append(result)
+
+            if self.config["use_diffusion"] and "diffusion" in self.models:
+                logger.info("Applying diffusion-based upscaling...")
+                self._callback("Diffusion", iteration, iterations,
+                               "Applying diffusion-based upscaling with "
+                               f"prompt: {prompt}")
+                with self.timer.stage("diffusion"):
+                    result = self._apply_diffusion(current, prompt)
+                if result is not None:
+                    upscaled.append(result)
+
+            self._callback("Ensemble", iteration, iterations,
+                           "Combining results from multiple models")
+            if upscaled:
+                with self.timer.stage("ensemble"):
+                    current = jax.block_until_ready(
+                        self._ensemble_results(upscaled))
+            else:
+                logger.warning("All models failed, falling back to bicubic "
+                               "upscaling")
+                current = self._bicubic_upscale(
+                    current, self.config["upscale_factor"])
+
+            self._callback("Postprocessing", iteration, iterations,
+                           "Applying final enhancements")
+            with self.timer.stage("postprocess"):
+                current = jax.block_until_ready(
+                    self._postprocess_image(current))
+
+            if self.config["intermediate_saves"]:
+                from neural_enhanced_super_resolution_tpu.utils.io import (
+                    imwrite_rgb)
+                path = os.path.join(self.config["output_dir"],
+                                    f"intermediate_iter{iteration+1}.png")
+                imwrite_rgb(path, np.asarray(current))
+                logger.info("Saved intermediate result: %s", path)
+
+            if self.config.get("image_callback"):
+                self.config["image_callback"](np.asarray(current))
+
+            logger.info("Completed iteration %d in %.1fs", iteration + 1,
+                        time.time() - t0)
+        return np.asarray(current)
+
+    def enhance_image(self, image_path: str, prompt: str | None = None) -> str:
+        """Enhance an image file; returns the saved output path
+        (same contract/naming as nesr.py:477-659)."""
+        image = self._load_image(image_path)
+        original_h, original_w = image.shape[:2]
+        self._callback("Starting enhancement", 0, self.config["iterations"],
+                       f"Image size: {original_w}x{original_h}")
+
+        final = self.enhance_array(image, prompt)
+
+        final_h, final_w = final.shape[:2]
+        scale_achieved = round(final_h / original_h, 1)
+        base_name, ext = os.path.splitext(os.path.basename(image_path))
+        final_path = os.path.join(
+            self.config["output_dir"],
+            f"{base_name}_enhanced_x{scale_achieved}{ext}")
+        from neural_enhanced_super_resolution_tpu.utils.io import imwrite_rgb
+        imwrite_rgb(final_path, final)
+        logger.info("Enhancement complete. Final image saved to: %s",
+                    final_path)
+        logger.info("Original size: %dx%d, Enhanced size: %dx%d (x%s)",
+                    original_w, original_h, final_w, final_h, scale_achieved)
+        self._callback("Complete", self.config["iterations"],
+                       self.config["iterations"],
+                       f"Enhancement complete: {original_w}x{original_h} → "
+                       f"{final_w}x{final_h} (x{scale_achieved})")
+        self.timer.log_summary(final_h * final_w / 1e6)
+        return final_path
+
+
+# ---------------------------------------------------------------------------
+# Jitted ESRGAN step: uint8 RGB tiles -> 12ch stack -> RRDB -> uint8 RGB.
+# One fused XLA program; the stack build and the output quantization never
+# leave the device (the reference does both on host, nesr.py:845-903).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "compute_dtype", "three_channel"))
+def _esrgan_jit(params, tiles_u8, cfg: RRDBNetConfig, compute_dtype: str,
+                three_channel: bool):
+    bgr = tiles_u8[..., ::-1].astype(jnp.float32) / 255.0
+    if three_channel:
+        x = jnp.concatenate([bgr, bgr, bgr, bgr], axis=-1)
+    else:
+        # blur runs on uint8 (cv2.GaussianBlur semantics incl. rounding),
+        # exactly like the reference's stack builder (nesr.py:870-875).
+        blurred = jax.vmap(lambda t: gaussian_blur(t, (3, 3), 0.0))(
+            tiles_u8[..., ::-1]).astype(jnp.float32) / 255.0
+        x = jnp.concatenate([bgr,
+                             jnp.clip(bgr * 1.1, 0.0, 1.0),
+                             jnp.clip(bgr * 0.9, 0.0, 1.0),
+                             blurred], axis=-1)
+    out = rrdbnet_forward(params, x, cfg, compute_dtype)
+    out = jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)  # trunc, as ref
+    return out[..., ::-1]

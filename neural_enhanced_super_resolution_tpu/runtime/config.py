@@ -1,0 +1,87 @@
+"""Pipeline configuration: reference-compatible keys + TPU-specific extras.
+
+Defaults replicate /root/reference/nesr/nesr.py:33-65 exactly (same keys, same
+values) so JSON configs written for the reference work unchanged. The
+device_specific overlay reproduces :72-77 — including honouring user overrides
+— but fixes the reference's latent crash when config is None (:76 evaluates
+``key not in config`` on None; SURVEY.md §7 "Reference bugs").
+
+TPU-only keys (all prefixed or additive, never colliding with reference keys):
+    precision            'bfloat16' | 'float32' compute dtype for models
+    parity_tiling        True -> reference-exact tile stitch arithmetic
+    tile_batch           max tiles per model invocation (HBM bound)
+    esrgan_model_path    explicit checkpoint path override
+    esrgan_arch          dict overriding RRDBNet hyperparams (tests use this)
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any
+
+__all__ = ["default_config", "merge_config"]
+
+
+def default_config() -> dict[str, Any]:
+    return {
+        "iterations": 3,
+        "use_diffusion": True,
+        "use_esrgan": True,
+        "use_swinir": False,  # documented-but-unimplemented in the reference
+        "preserve_details": True,
+        "adaptive_sharpening": True,
+        "segment_enhancement": True,
+        "denoise_level": 0.5,
+        "upscale_factor": 2,
+        "intermediate_saves": False,
+        "output_dir": "outputs",
+        "progress_callback": None,
+        "image_callback": None,
+        # Memory management options (reference nesr.py:47-51)
+        "force_3channel": False,
+        "max_tile_size": 512,
+        "enable_tiling": True,
+        "memory_efficient": False,
+        "device_specific": {
+            "tpu": {
+                "max_megapixels": 8,       # tiling threshold, like cuda's 8
+                "half_precision": True,    # bf16 on TPU
+            },
+            "cpu": {
+                "max_megapixels": 2,       # reference cpu threshold
+            },
+            # Reference platforms kept for config compatibility; their values
+            # apply if a config explicitly routes through them.
+            "mps": {"force_3channel": True, "max_megapixels": 4,
+                    "fallback_to_cpu": True},
+            "cuda": {"half_precision": True},
+        },
+        # --- TPU-native extras ---
+        "precision": None,            # None -> per-device default
+        "parity_tiling": False,
+        "tile_batch": None,
+        "esrgan_model_path": None,
+        "esrgan_arch": None,
+        "diffusion_model_path": None,
+        "segmentation_model_path": None,
+        "num_inference_steps": None,  # None -> per-device default (10/20)
+    }
+
+
+def merge_config(device: str, user_config: dict | None) -> dict[str, Any]:
+    """defaults <- user config <- device-specific overlay (user keys win)."""
+    cfg = default_config()
+    user_config = user_config or {}
+    cfg.update(user_config)
+    overlay = cfg["device_specific"].get(device, {})
+    for key, value in overlay.items():
+        if key not in user_config:  # only fill keys the user didn't set
+            cfg[key] = value
+    return cfg
+
+
+def snapshot(cfg: dict[str, Any]) -> dict[str, Any]:
+    """Deep copy minus unpicklable callbacks (for logging/debugging)."""
+    out = {k: v for k, v in cfg.items()
+           if k not in ("progress_callback", "image_callback")}
+    return copy.deepcopy(out)

@@ -7,11 +7,15 @@ multi-chip tiling/halo paths run under the same partitioner as on a real pod.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8").strip()
+# Explicit override: the environment presets JAX_PLATFORMS to the TPU platform
+# (and a sitecustomize may re-force it), so use jax.config — which wins over
+# env — to pin tests to an 8-virtual-device CPU mesh.
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", os.environ.get("NESR_TEST_PLATFORM", "cpu"))
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
