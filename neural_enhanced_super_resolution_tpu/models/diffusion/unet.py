@@ -1,0 +1,206 @@
+"""UNet2DConditionModel (diffusers-compatible subset) for the SD x4 upscaler.
+
+Covers exactly the architecture family the reference's
+``StableDiffusionUpscalePipeline`` instantiates
+(/root/reference/nesr/nesr.py:261: stabilityai/stable-diffusion-x4-upscaler):
+DownBlock2D / CrossAttnDownBlock2D / UNetMidBlock2DCrossAttn /
+UpBlock2D / CrossAttnUpBlock2D, timestep + class (noise-level) embeddings,
+GEGLU transformer blocks with self+cross attention.
+
+Config comes straight from the checkpoint's ``config.json``; parameters are a
+flat dict keyed by diffusers state-dict names (see layers.py). Forward is
+NHWC / bf16-compute / f32-accumulate and fully jittable — the whole denoise
+loop compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
+    attention, conv2d, group_norm, layer_norm, linear, nearest_upsample_x2,
+    silu, timestep_embedding)
+
+__all__ = ["UNetConfig", "unet_forward"]
+
+
+class UNetConfig:
+    """Hashable static config (subset of diffusers UNet2DConditionModel)."""
+
+    def __init__(self, sample_size=128, in_channels=7, out_channels=4,
+                 down_block_types=("DownBlock2D", "CrossAttnDownBlock2D",
+                                   "CrossAttnDownBlock2D",
+                                   "CrossAttnDownBlock2D"),
+                 up_block_types=("CrossAttnUpBlock2D", "CrossAttnUpBlock2D",
+                                 "CrossAttnUpBlock2D", "UpBlock2D"),
+                 block_out_channels=(256, 512, 512, 1024),
+                 layers_per_block=2, cross_attention_dim=1024,
+                 attention_head_dim=8, num_class_embeds=1000,
+                 norm_num_groups=32, mid_block_type="UNetMidBlock2DCrossAttn",
+                 **_ignored):
+        self.sample_size = sample_size
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.down_block_types = tuple(down_block_types)
+        self.up_block_types = tuple(up_block_types)
+        self.block_out_channels = tuple(block_out_channels)
+        self.layers_per_block = layers_per_block
+        self.cross_attention_dim = cross_attention_dim
+        # diffusers allows per-block head dims; normalize to a tuple
+        if isinstance(attention_head_dim, (list, tuple)):
+            self.attention_head_dim = tuple(attention_head_dim)
+        else:
+            self.attention_head_dim = (attention_head_dim,) * len(
+                self.block_out_channels)
+        self.num_class_embeds = num_class_embeds
+        self.norm_num_groups = norm_num_groups
+        self.mid_block_type = mid_block_type
+
+    def _key(self):
+        return (self.sample_size, self.in_channels, self.out_channels,
+                self.down_block_types, self.up_block_types,
+                self.block_out_channels, self.layers_per_block,
+                self.cross_attention_dim, self.attention_head_dim,
+                self.num_class_embeds, self.norm_num_groups,
+                self.mid_block_type)
+
+    def __hash__(self):
+        return hash(self._key())
+
+    def __eq__(self, other):
+        return isinstance(other, UNetConfig) and self._key() == other._key()
+
+
+# ---------------------------------------------------------------- blocks ----
+
+def _resnet(params, name, x, temb, groups, dtype):
+    h = group_norm(x, params, f"{name}.norm1", groups)
+    h = conv2d(silu(h), params, f"{name}.conv1", dtype=dtype)
+    t = linear(silu(temb), params, f"{name}.time_emb_proj", dtype=dtype)
+    h = h + t[:, None, None, :]
+    h = group_norm(h, params, f"{name}.norm2", groups)
+    h = conv2d(silu(h), params, f"{name}.conv2", dtype=dtype)
+    if f"{name}.conv_shortcut.weight" in params:
+        x = conv2d(x, params, f"{name}.conv_shortcut", padding=0, dtype=dtype)
+    return x + h
+
+
+def _geglu_ff(params, name, x, dtype):
+    proj = linear(x, params, f"{name}.net.0.proj", dtype=dtype)
+    a, gate = jnp.split(proj, 2, axis=-1)
+    return linear(a * jax.nn.gelu(gate), params, f"{name}.net.2", dtype=dtype)
+
+
+def _basic_transformer(params, name, x, context, heads, dtype):
+    # self-attention
+    h = layer_norm(x, params, f"{name}.norm1")
+    q = linear(h, params, f"{name}.attn1.to_q", dtype=dtype)
+    k = linear(h, params, f"{name}.attn1.to_k", dtype=dtype)
+    v = linear(h, params, f"{name}.attn1.to_v", dtype=dtype)
+    h = attention(q, k, v, heads, dtype=dtype)
+    x = x + linear(h, params, f"{name}.attn1.to_out.0", dtype=dtype)
+    # cross-attention
+    h = layer_norm(x, params, f"{name}.norm2")
+    q = linear(h, params, f"{name}.attn2.to_q", dtype=dtype)
+    k = linear(context, params, f"{name}.attn2.to_k", dtype=dtype)
+    v = linear(context, params, f"{name}.attn2.to_v", dtype=dtype)
+    h = attention(q, k, v, heads, dtype=dtype)
+    x = x + linear(h, params, f"{name}.attn2.to_out.0", dtype=dtype)
+    # feed-forward
+    h = layer_norm(x, params, f"{name}.norm3")
+    return x + _geglu_ff(params, f"{name}.ff", h, dtype)
+
+
+def _transformer2d(params, name, x, context, heads, groups, dtype):
+    n, h_, w_, c = x.shape
+    res = x
+    x = group_norm(x, params, f"{name}.norm", groups, eps=1e-6)
+    x = linear(x.reshape(n, h_ * w_, c), params, f"{name}.proj_in",
+               dtype=dtype)
+    x = _basic_transformer(params, f"{name}.transformer_blocks.0", x, context,
+                           heads, dtype)
+    x = linear(x, params, f"{name}.proj_out", dtype=dtype)
+    return x.reshape(n, h_, w_, c) + res
+
+
+def _downsample(params, name, x, dtype):
+    # diffusers Downsample2D: 3x3 stride-2 conv with asymmetric (0,1) padding
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    w = params[f"{name}.conv.weight"].astype(dtype)
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), w, (2, 2), ((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    return y + params[f"{name}.conv.bias"].astype(jnp.float32)
+
+
+def _upsample(params, name, x, dtype):
+    return conv2d(nearest_upsample_x2(x), params, f"{name}.conv", dtype=dtype)
+
+
+# --------------------------------------------------------------- forward ----
+
+def unet_forward(params: dict, sample: jax.Array, timestep: jax.Array,
+                 encoder_hidden_states: jax.Array,
+                 class_labels: jax.Array | None, cfg: UNetConfig,
+                 compute_dtype: str = "bfloat16") -> jax.Array:
+    """sample: (N, H, W, in_channels); returns (N, H, W, out_channels)."""
+    dtype = jnp.dtype(compute_dtype)
+    groups = cfg.norm_num_groups
+    ctx = encoder_hidden_states
+
+    # time + class embeddings
+    temb = timestep_embedding(jnp.broadcast_to(jnp.atleast_1d(timestep),
+                                               (sample.shape[0],)),
+                              cfg.block_out_channels[0])
+    temb = linear(temb, params, "time_embedding.linear_1", dtype=dtype)
+    temb = linear(silu(temb), params, "time_embedding.linear_2", dtype=dtype)
+    if cfg.num_class_embeds and class_labels is not None:
+        cemb = params["class_embedding.weight"][class_labels]
+        temb = temb + cemb.astype(jnp.float32)
+
+    x = conv2d(sample, params, "conv_in", dtype=dtype)
+
+    # down
+    skips = [x]
+    for bi, btype in enumerate(cfg.down_block_types):
+        bname = f"down_blocks.{bi}"
+        for li in range(cfg.layers_per_block):
+            x = _resnet(params, f"{bname}.resnets.{li}", x, temb, groups,
+                        dtype)
+            if btype == "CrossAttnDownBlock2D":
+                # NB: diffusers' "attention_head_dim" is historically the
+                # NUMBER of heads in SD1/SD-x4-era UNet configs.
+                x = _transformer2d(params, f"{bname}.attentions.{li}", x, ctx,
+                                   cfg.attention_head_dim[bi], groups, dtype)
+            skips.append(x)
+        if bi < len(cfg.down_block_types) - 1:
+            x = _downsample(params, f"{bname}.downsamplers.0", x, dtype)
+            skips.append(x)
+
+    # mid
+    x = _resnet(params, "mid_block.resnets.0", x, temb, groups, dtype)
+    if cfg.mid_block_type == "UNetMidBlock2DCrossAttn":
+        x = _transformer2d(params, "mid_block.attentions.0", x, ctx,
+                           cfg.attention_head_dim[-1], groups, dtype)
+    x = _resnet(params, "mid_block.resnets.1", x, temb, groups, dtype)
+
+    # up
+    for ui, btype in enumerate(cfg.up_block_types):
+        bname = f"up_blocks.{ui}"
+        bi = len(cfg.block_out_channels) - 1 - ui
+        for li in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = _resnet(params, f"{bname}.resnets.{li}", x, temb, groups,
+                        dtype)
+            if btype == "CrossAttnUpBlock2D":
+                x = _transformer2d(params, f"{bname}.attentions.{li}", x, ctx,
+                                   cfg.attention_head_dim[bi], groups, dtype)
+        if ui < len(cfg.up_block_types) - 1:
+            x = _upsample(params, f"{bname}.upsamplers.0", x, dtype)
+
+    x = group_norm(x, params, "conv_norm_out", groups)
+    x = conv2d(silu(x), params, "conv_out", dtype=dtype)
+    return x.astype(jnp.float32)

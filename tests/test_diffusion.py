@@ -1,0 +1,291 @@
+"""Diffusion stack tests: scheduler math, block-level torch parity, and the
+full tiny-checkpoint pipeline round trip."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from neural_enhanced_super_resolution_tpu.models.diffusion import (
+    CLIPTextConfig, DDIMScheduler, DDPMScheduler, UNetConfig, VAEConfig,
+    clip_text_forward, load_upscale_pipeline, unet_forward, vae_decode)
+from neural_enhanced_super_resolution_tpu.models.diffusion.specs import (
+    clip_param_shapes, random_params, unet_param_shapes, validate_params,
+    vae_param_shapes)
+
+TINY_UNET = UNetConfig(
+    sample_size=16, in_channels=7, out_channels=4,
+    down_block_types=("DownBlock2D", "CrossAttnDownBlock2D"),
+    up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+    block_out_channels=(8, 16), layers_per_block=1,
+    cross_attention_dim=16, attention_head_dim=2, num_class_embeds=50,
+    norm_num_groups=4)
+
+TINY_VAE = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                     latent_channels=4, norm_num_groups=4,
+                     scaling_factor=0.08333)
+
+TINY_CLIP = CLIPTextConfig(vocab_size=100, hidden_size=16,
+                           intermediate_size=32, num_hidden_layers=2,
+                           num_attention_heads=2, max_position_embeddings=12)
+
+
+# ------------------------------------------------------------ schedulers ----
+
+def test_ddpm_add_noise_formula():
+    s = DDPMScheduler(num_train_timesteps=100)
+    x0 = jnp.ones((2, 4, 4, 1))
+    eps = jnp.full((2, 4, 4, 1), 0.5)
+    t = jnp.int32(10)
+    got = s.add_noise(x0, eps, t)
+    a_bar = float(s.alphas_cumprod[10])
+    want = np.sqrt(a_bar) * 1.0 + np.sqrt(1 - a_bar) * 0.5
+    assert np.allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_ddim_recovers_x0_with_perfect_eps():
+    s = DDIMScheduler(num_train_timesteps=100)
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((1, 4, 4, 1)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((1, 4, 4, 1)), jnp.float32)
+    t = jnp.int32(50)
+    xt = s.add_noise(x0, eps, t)
+    # One DDIM step with the true eps and prev_t = -1 (a_bar_prev = 1)
+    # must land exactly on x0.
+    x_prev = s.step(eps, t, jnp.int32(-1), xt)
+    assert np.allclose(np.asarray(x_prev), np.asarray(x0), atol=1e-5)
+
+
+def test_timesteps_descending_and_in_range():
+    for s in (DDPMScheduler(), DDIMScheduler()):
+        ts = s.timesteps(20)
+        assert len(ts) == 20
+        assert (np.diff(ts) < 0).all()
+        assert ts.max() < 1000 and ts.min() >= 0
+
+
+def test_scaled_linear_betas_match_sd_convention():
+    s = DDPMScheduler(beta_start=0.0001, beta_end=0.02,
+                      beta_schedule="scaled_linear")
+    betas = np.asarray(s.betas)
+    assert np.isclose(betas[0], 0.0001, rtol=1e-3)
+    assert np.isclose(betas[-1], 0.02, rtol=1e-3)
+    # sqrt-space linearity
+    sq = np.sqrt(betas)
+    assert np.allclose(np.diff(sq), sq[1] - sq[0], rtol=1e-3)
+
+
+# ------------------------------------------------- torch parity (blocks) ----
+
+def test_resnet_block_matches_torch():
+    """Our _resnet vs. an independently written torch resnet block."""
+    from neural_enhanced_super_resolution_tpu.models.diffusion.unet import (
+        _resnet)
+    cin, cout, td, g = 8, 8, 16, 4
+    torch.manual_seed(0)
+    tnorm1 = torch.nn.GroupNorm(g, cin)
+    tconv1 = torch.nn.Conv2d(cin, cout, 3, padding=1)
+    ttime = torch.nn.Linear(td, cout)
+    tnorm2 = torch.nn.GroupNorm(g, cout)
+    tconv2 = torch.nn.Conv2d(cout, cout, 3, padding=1)
+    for m in (tnorm1, tconv1, ttime, tnorm2, tconv2):
+        for p in m.parameters():
+            torch.nn.init.normal_(p, std=0.3)
+
+    params = {
+        "r.norm1.weight": jnp.asarray(tnorm1.weight.detach().numpy()),
+        "r.norm1.bias": jnp.asarray(tnorm1.bias.detach().numpy()),
+        "r.conv1.weight": jnp.asarray(
+            tconv1.weight.detach().numpy().transpose(2, 3, 1, 0)),
+        "r.conv1.bias": jnp.asarray(tconv1.bias.detach().numpy()),
+        "r.time_emb_proj.weight": jnp.asarray(
+            ttime.weight.detach().numpy().T),
+        "r.time_emb_proj.bias": jnp.asarray(ttime.bias.detach().numpy()),
+        "r.norm2.weight": jnp.asarray(tnorm2.weight.detach().numpy()),
+        "r.norm2.bias": jnp.asarray(tnorm2.bias.detach().numpy()),
+        "r.conv2.weight": jnp.asarray(
+            tconv2.weight.detach().numpy().transpose(2, 3, 1, 0)),
+        "r.conv2.bias": jnp.asarray(tconv2.bias.detach().numpy()),
+    }
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 6, 5, cin)).astype(np.float32)
+    temb = rng.standard_normal((1, td)).astype(np.float32)
+
+    with torch.no_grad():
+        tx = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        tt = torch.from_numpy(temb)
+        h = torch.nn.functional.silu(tnorm1(tx))
+        h = tconv1(h)
+        h = h + ttime(torch.nn.functional.silu(tt))[:, :, None, None]
+        h = torch.nn.functional.silu(tnorm2(h))
+        h = tconv2(h)
+        ref = (tx + h).numpy().transpose(0, 2, 3, 1)
+
+    ours = np.asarray(_resnet(params, "r", jnp.asarray(x), jnp.asarray(temb),
+                              g, jnp.float32))
+    assert np.abs(ours - ref).max() < 1e-4
+
+
+def test_clip_attention_matches_torch_mha():
+    """Our attention vs torch scaled_dot_product_attention with causal mask."""
+    from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
+        attention)
+    rng = np.random.default_rng(1)
+    b, s, d, h = 2, 7, 16, 2
+    q = rng.standard_normal((b, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, d)).astype(np.float32)
+    mask = np.where(np.arange(s)[None, :] <= np.arange(s)[:, None], 0.0,
+                    -np.inf).astype(np.float32)
+    ours = np.asarray(attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), h,
+                                mask=jnp.asarray(mask)[None, None],
+                                dtype=jnp.float32))
+    with torch.no_grad():
+        tq = torch.from_numpy(q).view(b, s, h, d // h).transpose(1, 2)
+        tk = torch.from_numpy(k).view(b, s, h, d // h).transpose(1, 2)
+        tv = torch.from_numpy(v).view(b, s, h, d // h).transpose(1, 2)
+        ref = torch.nn.functional.scaled_dot_product_attention(
+            tq, tk, tv, is_causal=True)
+        ref = ref.transpose(1, 2).reshape(b, s, d).numpy()
+    assert np.abs(ours - ref).max() < 1e-4
+
+
+# --------------------------------------------------------- forward shapes ---
+
+def test_unet_forward_shapes_and_spec():
+    spec = unet_param_shapes(TINY_UNET)
+    params = random_params(spec, jax.random.PRNGKey(0))
+    x = jnp.zeros((2, 16, 16, 7))
+    ctx = jnp.zeros((2, 12, 16))
+    out = unet_forward(params, x, jnp.int32(10), ctx,
+                       jnp.zeros((2,), jnp.int32), TINY_UNET, "float32")
+    assert out.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_vae_decode_shapes():
+    spec = vae_param_shapes(TINY_VAE, decoder_only=True)
+    params = random_params(spec, jax.random.PRNGKey(1))
+    lat = jnp.zeros((1, 8, 8, 4))
+    out = vae_decode(params, lat, TINY_VAE, "float32")
+    assert out.shape == (1, 16, 16, 3)  # one upsample for 2 blocks
+
+
+def test_clip_forward_shapes():
+    spec = clip_param_shapes(TINY_CLIP)
+    params = random_params(spec, jax.random.PRNGKey(2))
+    ids = jnp.zeros((2, 12), jnp.int32)
+    out = clip_text_forward(params, ids, TINY_CLIP, "float32")
+    assert out.shape == (2, 12, 16)
+
+
+# --------------------------------------------- tiny snapshot + pipeline -----
+
+def _save_torch_sd(params: dict, path: str):
+    """Convert our JAX-layout params back to a torch state dict file."""
+    sd = {}
+    for name, arr in params.items():
+        a = np.asarray(arr)
+        if name.endswith(".weight") and a.ndim == 4:
+            a = a.transpose(3, 2, 0, 1)
+        elif (name.endswith(".weight") and a.ndim == 2
+              and not any(m in name for m in ("token_embedding",
+                                              "position_embedding",
+                                              "class_embedding"))):
+            a = a.T
+        sd[name] = torch.from_numpy(np.ascontiguousarray(a))
+    torch.save(sd, path)
+
+
+@pytest.fixture(scope="module")
+def tiny_snapshot(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sd_x4_tiny")
+    key = jax.random.PRNGKey(0)
+
+    unet_dir = root / "unet"; unet_dir.mkdir()
+    cfg = dict(sample_size=16, in_channels=7, out_channels=4,
+               down_block_types=["DownBlock2D", "CrossAttnDownBlock2D"],
+               up_block_types=["CrossAttnUpBlock2D", "UpBlock2D"],
+               block_out_channels=[8, 16], layers_per_block=1,
+               cross_attention_dim=16, attention_head_dim=2,
+               num_class_embeds=50, norm_num_groups=4)
+    (unet_dir / "config.json").write_text(json.dumps(cfg))
+    _save_torch_sd(random_params(unet_param_shapes(UNetConfig(**cfg)), key),
+                   str(unet_dir / "diffusion_pytorch_model.bin"))
+
+    vae_dir = root / "vae"; vae_dir.mkdir()
+    vcfg = dict(block_out_channels=[8, 16], layers_per_block=1,
+                latent_channels=4, norm_num_groups=4, scaling_factor=0.08333,
+                in_channels=3, out_channels=3)
+    (vae_dir / "config.json").write_text(json.dumps(vcfg))
+    _save_torch_sd(random_params(vae_param_shapes(VAEConfig(**vcfg)), key),
+                   str(vae_dir / "diffusion_pytorch_model.bin"))
+
+    te_dir = root / "text_encoder"; te_dir.mkdir()
+    tcfg = dict(vocab_size=100, hidden_size=16, intermediate_size=32,
+                num_hidden_layers=2, num_attention_heads=2,
+                max_position_embeddings=12)
+    (te_dir / "config.json").write_text(json.dumps(tcfg))
+    _save_torch_sd(random_params(clip_param_shapes(CLIPTextConfig(**tcfg)),
+                                 key),
+                   str(te_dir / "pytorch_model.bin"))
+
+    for sname in ("scheduler", "low_res_scheduler"):
+        sdir = root / sname; sdir.mkdir()
+        (sdir / "scheduler_config.json").write_text(json.dumps({
+            "_class_name": "DDIMScheduler" if sname == "scheduler"
+            else "DDPMScheduler",
+            "num_train_timesteps": 1000, "beta_start": 0.0001,
+            "beta_end": 0.02, "beta_schedule": "scaled_linear",
+            "prediction_type": "epsilon"}))
+    (root / "model_index.json").write_text(json.dumps(
+        {"max_noise_level": 350}))
+    return str(root)
+
+
+def test_pipeline_load_and_upscale(tiny_snapshot):
+    pipe = load_upscale_pipeline(tiny_snapshot, compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    out = pipe(prompt="a photo", image=img, noise_level=20,
+               num_inference_steps=3, guidance_scale=7.5, seed=0)
+    assert out.shape == (16, 16, 3)  # tiny VAE has one x2 upsample
+    assert out.dtype == np.uint8
+    # DDIM + fixed seed => deterministic
+    out2 = pipe(prompt="a photo", image=img, noise_level=20,
+                num_inference_steps=3, guidance_scale=7.5, seed=0)
+    assert np.array_equal(out, out2)
+
+
+def test_pipeline_noise_level_guard(tiny_snapshot):
+    pipe = load_upscale_pipeline(tiny_snapshot, compute_dtype="float32")
+    with pytest.raises(ValueError):
+        pipe(prompt="x", image=np.zeros((8, 8, 3), np.uint8),
+             noise_level=9999)
+
+
+def test_spec_validation_roundtrip():
+    spec = unet_param_shapes(TINY_UNET)
+    params = random_params(spec, jax.random.PRNGKey(0))
+    missing, unexpected = validate_params(params, spec)
+    assert not missing and not unexpected
+
+
+def test_superres_pipeline_uses_diffusion(tiny_snapshot, tmp_path, test_image):
+    """The diffusion branch plugs into the main pipeline end-to-end."""
+    from neural_enhanced_super_resolution_tpu import SuperResolutionPipeline
+    pipe = SuperResolutionPipeline(device="cpu", config={
+        "iterations": 1, "use_esrgan": False, "segment_enhancement": False,
+        "denoise_level": 0, "adaptive_sharpening": False,
+        "use_diffusion": True, "diffusion_model_path": tiny_snapshot,
+        "num_inference_steps": 2,
+        "output_dir": str(tmp_path / "out")})
+    out = pipe.enhance_array(test_image[:8, :8])
+    assert "diffusion" in pipe.models
+    assert out.shape == (16, 16, 3)
