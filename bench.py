@@ -41,9 +41,10 @@ def main() -> int:
     enable_persistent_compilation_cache()
 
     H = W = int(os.environ.get("NESR_BENCH_SIZE", 2048))
-    TILE = int(os.environ.get("NESR_BENCH_TILE", 512))
+    TILE = int(os.environ.get("NESR_BENCH_TILE", 128))
     HALO = 16
     REPS = int(os.environ.get("NESR_BENCH_REPS", 3))
+    BATCH = int(os.environ.get("NESR_BENCH_BATCH", 16))
 
     cfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=64,
                         num_block=23, num_grow_ch=32)
@@ -53,13 +54,17 @@ def main() -> int:
     rng = np.random.default_rng(0)
     image = jnp.asarray(rng.integers(0, 256, (H, W, 3), dtype=np.uint8))
 
+    from neural_enhanced_super_resolution_tpu.parallel.tiling import (
+        process_tiled)
+
+    def model_fn(tiles):
+        return _esrgan_jit(params, tiles, cfg, "bfloat16", False)
+
     def run_once():
-        padded, oh, ow = pad_to_grid(image, TILE)
-        ny, nx = padded.shape[0] // TILE, padded.shape[1] // TILE
-        tiles = extract_tiles(padded, TILE, HALO)
-        out_tiles = _esrgan_jit(params, tiles, cfg, "bfloat16", False)
-        out = stitch_tiles(out_tiles, ny, nx, TILE * 4, HALO * 4)
-        return out[:oh * 4, :ow * 4]
+        # Production code path: uniform halo grid, fixed-size tile batches
+        # (one jit specialization), on-device stitch.
+        return process_tiled(model_fn, image, tile_size=TILE, halo=HALO,
+                             scale=4, batch_tiles=BATCH)
 
     # Warmup (compile)
     t0 = time.perf_counter()
