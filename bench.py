@@ -41,7 +41,7 @@ def main() -> int:
     enable_persistent_compilation_cache()
 
     H = W = int(os.environ.get("NESR_BENCH_SIZE", 2048))
-    TILE = int(os.environ.get("NESR_BENCH_TILE", 128))
+    TILE = int(os.environ.get("NESR_BENCH_TILE", 256))
     HALO = 16
     REPS = int(os.environ.get("NESR_BENCH_REPS", 3))
     BATCH = int(os.environ.get("NESR_BENCH_BATCH", 16))

@@ -1,0 +1,176 @@
+"""Pallas flash attention for TPU (used by the diffusion UNet's self-attention
+on large latent grids).
+
+Online-softmax blocked attention: Q blocks stream over KV blocks entirely in
+VMEM, never materialising the (S, S) score matrix — the standard
+flash-attention recipe expressed in Pallas (see /opt/skills/guides/
+pallas_guide.md: grid/BlockSpec, VMEM scratch, fori_loop). Falls back to the
+XLA einsum path (models/diffusion/layers.attention) for short sequences or
+non-TPU backends, where plain XLA is faster than kernel launch overhead.
+
+FLOP layout: per (batch*head, Sq, d) block the kernel runs two MXU matmuls
+(QK^T and PV) with f32 accumulators in VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["flash_attention", "attention_auto"]
+
+_NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                  *, block_k: int, sm_scale: float):
+    """One (batch*head, q_block) program: stream KV blocks with online
+    softmax. Refs are (1, bq, d) / (1, Skv, d) VMEM blocks."""
+    skv = k_ref.shape[1]
+    num_kv = skv // block_k
+
+    m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+
+    def body(ki, _):
+        k_blk = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)  # (bq, block_k)
+
+        m_prev = m_scr[:, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+
+        l_new = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
+        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:, 0] = m_new
+        l_scr[:, 0] = l_new
+        return 0
+
+    lax.fori_loop(0, num_kv, body, 0)
+    o_ref[0] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret"))
+def _flash_attention_impl(q, k, v, block_q, block_k, interpret):
+    return _flash_attention_body(q, k, v, block_q, block_k, interpret)
+
+
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    block_q: int = 256, block_k: int = 256,
+                    interpret: bool | None = None) -> jax.Array:
+    if interpret is None:
+        # Pallas compiles only on TPU; elsewhere run the interpreter (tests).
+        interpret = jax.default_backend() != "tpu"
+    return _flash_attention_impl(q, k, v, block_q, block_k, interpret)
+
+
+def _flash_attention_body(q: jax.Array, k: jax.Array, v: jax.Array,
+                          block_q: int, block_k: int,
+                          interpret: bool) -> jax.Array:
+    """(B, H, Sq, d) x (B, H, Skv, d) -> (B, H, Sq, d), no mask.
+
+    Sq must divide block_q and Skv divide block_k after internal padding
+    (handled here with -inf-free zero padding: padded KV rows contribute
+    exp(-inf)=0 via a large negative score bias folded into K padding).
+    """
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    sm_scale = 1.0 / math.sqrt(d)
+
+    # Pad sequence dims to block multiples. Padded KV entries must not
+    # contribute: give them a score of -inf by padding K with zeros and
+    # masking via a huge negative bias added to padded V rows' scores —
+    # simplest robust trick: pad K with zeros and rely on an explicit bias
+    # is complex in-kernel; instead pad K with a row whose dot with any q is
+    # constant, then subtract. We choose exact masking: pad then set scores
+    # via value -inf using a validity trick below.
+    pq = (-sq) % block_q
+    pk = (-skv) % block_k
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pq), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    if pk:
+        # Exact mask for padded keys: append a large negative component on an
+        # extra feature dimension. q gets +1 on that dim, padded k gets +BIG,
+        # real k gets 0 -> padded scores ~ -BIG, exp -> 0.
+        extra_q = jnp.ones((b, h, sq + pq, 1), q.dtype)
+        valid = jnp.concatenate([
+            jnp.zeros((b, h, skv, 1), k.dtype),
+            jnp.full((b, h, pk, 1), -1e4, k.dtype)], axis=2)
+        qp = jnp.concatenate([qp, extra_q], axis=-1)
+        kp = jnp.concatenate([kp, valid], axis=-1)
+        dk = d + 1
+    else:
+        dk = d
+
+    bh = b * h
+    qp = qp.reshape(bh, sq + pq, dk)
+    kp = kp.reshape(bh, skv + pk, dk)
+    vp = vp.reshape(bh, skv + pk, d)
+
+    grid = (bh, (sq + pq) // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k,
+                          sm_scale=sm_scale),
+        out_shape=jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dk), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv + pk, dk), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, skv + pk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, sq + pq, d)[:, :, :sq, :]
+
+
+def attention_auto(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
+                   mask: jax.Array | None = None,
+                   dtype=jnp.bfloat16,
+                   min_seq_for_flash: int = 1024) -> jax.Array:
+    """Drop-in for layers.attention: flash kernel when profitable.
+
+    Inputs (B, S, D) packed heads; mask forces the XLA path (the UNet's only
+    masked attention is CLIP's causal text tower at S=77, where flash is not
+    worth it).
+    """
+    from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
+        attention as xla_attention)
+
+    b, sq, dm = q.shape
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if mask is not None or not on_tpu or sq < min_seq_for_flash:
+        return xla_attention(q, k, v, num_heads, mask=mask, dtype=dtype)
+    hd = dm // num_heads
+    qh = q.reshape(b, sq, num_heads, hd).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, k.shape[1], num_heads, hd).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, v.shape[1], num_heads, hd).transpose(0, 2, 1, 3)
+    out = flash_attention(qh.astype(dtype), kh.astype(dtype),
+                          vh.astype(dtype))
+    return out.transpose(0, 2, 1, 3).reshape(b, sq, dm).astype(jnp.float32)

@@ -124,12 +124,14 @@ def init_rrdbnet(key: jax.Array, cfg: RRDBNetConfig) -> dict[str, Any]:
 
 
 def _conv3x3(x: jax.Array, p: dict, compute_dtype) -> jax.Array:
+    """3x3 SAME conv: MXU accumulates in f32, activations stay in
+    compute_dtype (bf16) so HBM traffic between convs is halved."""
     w = p["w"].astype(compute_dtype)
     y = lax.conv_general_dilated(
         x.astype(compute_dtype), w, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32)
-    return y + p["b"].astype(jnp.float32)
+    return (y + p["b"].astype(jnp.float32)).astype(compute_dtype)
 
 
 def _lrelu(x: jax.Array) -> jax.Array:
