@@ -1,0 +1,255 @@
+"""Toolkit-independent GUI controller (view-model layer).
+
+All the logic behind the reference's PyQt5 application
+(/root/reference/nesr/gui/app.py) lives here, decoupled from any widget
+toolkit so it is unit-testable headlessly (the reference's GUI logic is
+welded to Qt and untestable — SURVEY.md §4):
+
+  * degradation preview/apply/reset state     (app.py:1476-1565)
+  * enhancement presets                       (app.py:935-986)
+  * settings dicts (enhancement + advanced)   (app.py:914-927, :1153-1173)
+  * worker threads with progress/image/finish/error events
+    (EnhancementWorker / ModelDownloadWorker, app.py:72-163), including the
+    0.5 s progress throttle and cooperative cancellation
+  * model availability checks                 (app.py:1364-1388)
+
+The Qt view in gui/app.py binds these to widgets when PyQt5 is installed.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+
+logger = logging.getLogger("nesr.gui")
+
+__all__ = ["DegradationState", "EnhancementSettingsState", "PRESETS",
+           "EnhancementWorker", "ModelDownloadWorker", "check_model_status"]
+
+
+# ---------------------------------------------------------------- presets ---
+
+PRESETS = {
+    # Mirrors the reference's four presets (app.py:935-986).
+    "Fast": {"iterations": 1, "use_diffusion": False, "use_esrgan": True,
+             "segment_enhancement": False, "denoise_level": 0.3,
+             "adaptive_sharpening": True},
+    "Balanced": {"iterations": 2, "use_diffusion": True, "use_esrgan": True,
+                 "segment_enhancement": True, "denoise_level": 0.5,
+                 "adaptive_sharpening": True},
+    "Quality": {"iterations": 3, "use_diffusion": True, "use_esrgan": True,
+                "segment_enhancement": True, "denoise_level": 0.5,
+                "adaptive_sharpening": True},
+    "Maximum": {"iterations": 4, "use_diffusion": True, "use_esrgan": True,
+                "segment_enhancement": True, "denoise_level": 0.7,
+                "adaptive_sharpening": True},
+}
+
+
+@dataclass
+class EnhancementSettingsState:
+    """Settings the Enhancement + Advanced tabs hold (app.py:914-927,
+    :1153-1173)."""
+    iterations: int = 3
+    upscale_factor: float = 2.0
+    use_esrgan: bool = True
+    use_diffusion: bool = True
+    segment_enhancement: bool = True
+    denoise_level: float = 0.5
+    adaptive_sharpening: bool = True
+    prompt: str = ""
+    # advanced
+    force_3channel: bool = False
+    max_tile_size: int = 512
+    enable_tiling: bool = True
+    device: str = "auto"
+    output_dir: str = "outputs"
+    intermediate_saves: bool = False
+
+    def apply_preset(self, name: str) -> None:
+        for key, value in PRESETS[name].items():
+            setattr(self, key, value)
+
+    def to_config(self) -> dict:
+        return {
+            "iterations": self.iterations,
+            "upscale_factor": self.upscale_factor,
+            "use_esrgan": self.use_esrgan,
+            "use_diffusion": self.use_diffusion,
+            "segment_enhancement": self.segment_enhancement,
+            "denoise_level": self.denoise_level,
+            "adaptive_sharpening": self.adaptive_sharpening,
+            "force_3channel": self.force_3channel,
+            "max_tile_size": self.max_tile_size,
+            "enable_tiling": self.enable_tiling,
+            "output_dir": self.output_dir,
+            "intermediate_saves": self.intermediate_saves,
+        }
+
+
+# ------------------------------------------------------------ degradation ---
+
+@dataclass
+class DegradationState:
+    """Degradation tab state machine (app.py:1476-1565): load an original,
+    preview a degraded version, apply it as the working image, reset."""
+    original: np.ndarray | None = None
+    degraded: np.ndarray | None = None
+
+    def load(self, image: np.ndarray) -> None:
+        self.original = np.asarray(image)
+        self.degraded = None
+
+    def preview(self, downscale: float = 1.0, noise_type: str = "gaussian",
+                noise_amount: float = 0.0, blur_type: str = "gaussian",
+                blur_radius: int = 0, jpeg_quality: int = 100,
+                rng: np.random.Generator | None = None) -> np.ndarray:
+        """Apply the degradation chain in the reference's order:
+        downsample -> blur -> noise -> jpeg (degrade_image, app.py:1567-1617).
+        """
+        if self.original is None:
+            raise ValueError("no image loaded")
+        from neural_enhanced_super_resolution_tpu.utils.image_utils import (
+            add_noise, apply_jpeg_compression, blur_image, downsample_image)
+        img = self.original
+        if downscale < 1.0:
+            img = downsample_image(img, downscale)
+        if blur_radius > 0:
+            img = blur_image(img, blur_type, blur_radius)
+        if noise_amount > 0:
+            img = add_noise(img, noise_type, noise_amount, rng=rng)
+        if jpeg_quality < 100:
+            img = apply_jpeg_compression(img, jpeg_quality)
+        self.degraded = np.asarray(img)
+        return self.degraded
+
+    def apply(self) -> np.ndarray:
+        if self.degraded is None:
+            raise ValueError("no degraded preview to apply")
+        return self.degraded
+
+    def reset(self) -> np.ndarray:
+        if self.original is None:
+            raise ValueError("no image loaded")
+        self.degraded = None
+        return self.original
+
+
+# ---------------------------------------------------------------- workers ---
+
+class EnhancementWorker:
+    """Background enhancement thread (EnhancementWorker, app.py:72-138).
+
+    Events are plain callables (the Qt view connects them to signals):
+    on_progress(stage, iter, total, msg) — throttled to one per 0.5 s like
+    the reference; on_image(np_image); on_finished(path); on_error(msg).
+    Cancellation is cooperative via .stop(), and — unlike the reference,
+    whose pipeline ignores the callback return value (SURVEY.md §3.4) — the
+    pipeline is re-checked between stages via the throttle callback.
+    """
+
+    PROGRESS_THROTTLE_S = 0.5
+
+    def __init__(self, pipeline, image_path: str, prompt: str | None = None,
+                 on_progress: Callable = None, on_image: Callable = None,
+                 on_finished: Callable = None, on_error: Callable = None):
+        self.pipeline = pipeline
+        self.image_path = image_path
+        self.prompt = prompt
+        self.on_progress = on_progress
+        self.on_image = on_image
+        self.on_finished = on_finished
+        self.on_error = on_error
+        self.running = False
+        self._last_emit = 0.0
+        self._thread: threading.Thread | None = None
+
+    def _progress(self, stage, iteration, total, message):
+        if not self.running:
+            raise _Cancelled()
+        now = time.monotonic()
+        if (now - self._last_emit >= self.PROGRESS_THROTTLE_S
+                or stage in ("Complete", "Enhancement")):
+            self._last_emit = now
+            if self.on_progress:
+                self.on_progress(stage, iteration, total, message)
+
+    def _run(self):
+        try:
+            self.pipeline.config["progress_callback"] = self._progress
+            if self.on_image:
+                self.pipeline.config["image_callback"] = self.on_image
+            path = self.pipeline.enhance_image(self.image_path, self.prompt)
+            if self.running and self.on_finished:
+                self.on_finished(path)
+        except _Cancelled:
+            logger.info("Enhancement cancelled")
+        except Exception as exc:  # noqa: BLE001 - surfaced to the UI
+            logger.error("Enhancement failed: %s", exc)
+            if self.on_error:
+                self.on_error(str(exc))
+        finally:
+            self.running = False
+
+    def start(self):
+        self.running = True
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self.running = False
+
+    def join(self, timeout=None):
+        if self._thread:
+            self._thread.join(timeout)
+
+
+class _Cancelled(Exception):
+    pass
+
+
+class ModelDownloadWorker:
+    """Background model download (ModelDownloadWorker, app.py:140-163)."""
+
+    def __init__(self, model_keys=None, on_progress: Callable = None,
+                 on_finished: Callable = None, on_error: Callable = None):
+        self.model_keys = model_keys
+        self.on_progress = on_progress
+        self.on_finished = on_finished
+        self.on_error = on_error
+        self._thread: threading.Thread | None = None
+
+    def _run(self):
+        try:
+            from neural_enhanced_super_resolution_tpu.utils.downloader import (
+                download_models)
+            results = download_models(self.model_keys, self.on_progress)
+            if self.on_finished:
+                self.on_finished(results)
+        except Exception as exc:  # noqa: BLE001
+            if self.on_error:
+                self.on_error(str(exc))
+
+    def start(self):
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def join(self, timeout=None):
+        if self._thread:
+            self._thread.join(timeout)
+
+
+def check_model_status() -> dict:
+    """Model availability for the check-on-start dialog (app.py:1364-1388)."""
+    from neural_enhanced_super_resolution_tpu.utils.downloader import (
+        check_models_exist, get_model_info)
+    info = get_model_info()
+    existing = check_models_exist()
+    missing_required = [k for k, v in info.items()
+                        if v["required"] and not existing.get(k)]
+    return {"info": info, "missing_required": missing_required}

@@ -1,0 +1,110 @@
+"""Headless tests for the GUI controller layer (the reference's GUI logic is
+untestable Qt-welded code; ours is a plain view-model — SURVEY.md §4)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from neural_enhanced_super_resolution_tpu.gui.controller import (
+    DegradationState, EnhancementSettingsState, EnhancementWorker, PRESETS)
+
+
+def test_presets_cover_reference_set():
+    assert set(PRESETS) == {"Fast", "Balanced", "Quality", "Maximum"}
+    s = EnhancementSettingsState()
+    s.apply_preset("Fast")
+    assert s.iterations == 1 and not s.use_diffusion
+    s.apply_preset("Maximum")
+    assert s.iterations == 4 and s.denoise_level == 0.7
+
+
+def test_settings_to_config_keys_match_pipeline():
+    from neural_enhanced_super_resolution_tpu.runtime.config import (
+        default_config)
+    cfg_keys = set(default_config())
+    s = EnhancementSettingsState()
+    assert set(s.to_config()).issubset(cfg_keys)
+
+
+def test_degradation_state_machine(rng, test_image):
+    d = DegradationState()
+    with pytest.raises(ValueError):
+        d.preview()
+    d.load(test_image)
+    out = d.preview(downscale=0.5, noise_amount=0.05, blur_radius=1,
+                    jpeg_quality=80, rng=rng)
+    assert out.shape[0] == test_image.shape[0] // 2
+    assert np.array_equal(d.apply(), out)
+    assert np.array_equal(d.reset(), test_image)
+    assert d.degraded is None
+
+
+class _FakePipeline:
+    def __init__(self, delay=0.0, fail=False, iterations=3):
+        self.config = {"iterations": iterations}
+        self.delay = delay
+        self.fail = fail
+
+    def enhance_image(self, path, prompt=None):
+        cb = self.config.get("progress_callback")
+        for i in range(self.config["iterations"]):
+            if cb:
+                cb("Enhancement", i, self.config["iterations"], f"iter {i}")
+            if self.delay:
+                time.sleep(self.delay)
+        if self.fail:
+            raise RuntimeError("boom")
+        if self.config.get("image_callback"):
+            self.config["image_callback"](np.zeros((4, 4, 3), np.uint8))
+        if cb:
+            cb("Complete", self.config["iterations"],
+               self.config["iterations"], "done")
+        return "/tmp/out.png"
+
+
+def test_enhancement_worker_events():
+    events = {"progress": [], "finished": [], "images": []}
+    w = EnhancementWorker(
+        _FakePipeline(), "in.png",
+        on_progress=lambda *a: events["progress"].append(a),
+        on_image=lambda im: events["images"].append(im.shape),
+        on_finished=lambda p: events["finished"].append(p))
+    w.start()
+    w.join(10)
+    assert events["finished"] == ["/tmp/out.png"]
+    assert events["images"] == [(4, 4, 3)]
+    assert any(e[0] == "Enhancement" for e in events["progress"])
+    assert events["progress"][-1][0] == "Complete"
+
+
+def test_enhancement_worker_error_event():
+    errors = []
+    w = EnhancementWorker(_FakePipeline(fail=True), "in.png",
+                          on_error=errors.append)
+    w.start()
+    w.join(10)
+    assert errors == ["boom"]
+
+
+def test_enhancement_worker_cancellation_stops_pipeline():
+    progressed = []
+    w = EnhancementWorker(
+        _FakePipeline(delay=0.05, iterations=100), "in.png",
+        on_progress=lambda *a: progressed.append(a),
+        on_finished=lambda p: progressed.append(("FINISHED",)))
+    w.start()
+    time.sleep(0.2)
+    w.stop()
+    w.join(10)
+    # cancelled: no finish event, and the pipeline stopped mid-way
+    assert ("FINISHED",) not in progressed
+    assert len(progressed) < 100
+
+
+def test_gui_import_without_qt():
+    from neural_enhanced_super_resolution_tpu.gui import (HAS_QT,
+                                                          NESRApplication)
+    if not HAS_QT:
+        with pytest.raises(ImportError):
+            NESRApplication()
