@@ -35,6 +35,16 @@ __all__ = ["preprocess", "unsharp_mask", "masked_sharpen", "adaptive_sharpen",
            "ensemble"]
 
 
+@jax.jit
+def _clahe_contrast(img) -> jax.Array:
+    """RGB -> LAB -> CLAHE(2.0, 8x8) on L -> RGB, as ONE fused XLA program
+    (the reference round-trips four separate cv2 calls, nesr.py:679-685)."""
+    lab = _rgb_to_lab(img)
+    l_eq = _clahe_apply(lab[:, :, 0], clip_limit=2.0, tile_grid_size=(8, 8))
+    lab = jnp.concatenate([l_eq[:, :, None], lab[:, :, 1:]], axis=-1)
+    return _lab_to_rgb(lab)
+
+
 def preprocess(img, denoise_level: float = 0.5) -> jax.Array:
     """Denoise (NL-means, h = level*10) then CLAHE(2.0, 8x8) on the LAB L channel.
 
@@ -46,10 +56,7 @@ def preprocess(img, denoise_level: float = 0.5) -> jax.Array:
         strength = float(denoise_level) * 10.0
         img = _nl_means_colored(img, h=strength, h_color=strength,
                                         template=7, search=21)
-    lab = _rgb_to_lab(img)
-    l_eq = _clahe_apply(lab[:, :, 0], clip_limit=2.0, tile_grid_size=(8, 8))
-    lab = jnp.concatenate([l_eq[:, :, None], lab[:, :, 1:]], axis=-1)
-    return _lab_to_rgb(lab)
+    return _clahe_contrast(img)
 
 
 @jax.jit

@@ -95,6 +95,7 @@ def nl_means(img, h: float = 3.0, template: int = 7, search: int = 21,
     return out.astype(img.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("template", "search"))
 def nl_means_colored(img, h: float = 3.0, h_color: float = 3.0,
                      template: int = 7, search: int = 21) -> jax.Array:
     """cv2.fastNlMeansDenoisingColored equivalent for uint8 RGB images.
