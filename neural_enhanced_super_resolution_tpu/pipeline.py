@@ -228,6 +228,13 @@ class SuperResolutionPipeline:
             logger.info("Forcing tiling and 3-channel mode for %.1f MP image",
                         megapixels)
         tile_size = self.config["max_tile_size"]
+        if self.config.get("memory_efficient"):
+            # memory_efficient (reference nesr.py:51): trade throughput for
+            # peak HBM — small tiles, small batches, tiling always on.
+            use_tiling = True
+            tile_size = min(tile_size, 256)
+            if self.config.get("tile_batch") is None:
+                self.config["tile_batch"] = 4
 
         try:
             if use_tiling:
@@ -406,7 +413,17 @@ class SuperResolutionPipeline:
         self._callback("Starting enhancement", 0, self.config["iterations"],
                        f"Image size: {original_w}x{original_h}")
 
-        final = self.enhance_array(image, prompt)
+        # Optional XProf trace capture (SURVEY.md §5 tracing): set
+        # NESR_PROFILE_DIR to record a TensorBoard-compatible device trace.
+        profile_dir = os.environ.get("NESR_PROFILE_DIR")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
+        try:
+            final = self.enhance_array(image, prompt)
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
+                logger.info("Profiler trace written to %s", profile_dir)
 
         final_h, final_w = final.shape[:2]
         scale_achieved = round(final_h / original_h, 1)
