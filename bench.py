@@ -31,7 +31,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
-        RRDBNetConfig, init_rrdbnet)
+        RRDBNetConfig, fuse_rrdbnet_params, init_rrdbnet)
     from neural_enhanced_super_resolution_tpu.parallel.tiling import (
         extract_tiles, pad_to_grid, stitch_tiles)
     from neural_enhanced_super_resolution_tpu.pipeline import _esrgan_jit
@@ -49,6 +49,8 @@ def main() -> int:
     cfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=64,
                         num_block=23, num_grow_ch=32)
     params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
+    if os.environ.get("NESR_BENCH_FUSED", "1") == "1":
+        params = fuse_rrdbnet_params(params)
     params = jax.device_put(params)
 
     rng = np.random.default_rng(0)

@@ -93,12 +93,15 @@ def _geglu_ff(params, name, x, dtype):
 
 
 def _basic_transformer(params, name, x, context, heads, dtype):
-    # self-attention
+    # self-attention over the latent grid: Pallas flash kernel on TPU for
+    # long sequences, XLA einsum otherwise (kernels/attention.py).
+    from neural_enhanced_super_resolution_tpu.kernels.attention import (
+        attention_auto)
     h = layer_norm(x, params, f"{name}.norm1")
     q = linear(h, params, f"{name}.attn1.to_q", dtype=dtype)
     k = linear(h, params, f"{name}.attn1.to_k", dtype=dtype)
     v = linear(h, params, f"{name}.attn1.to_v", dtype=dtype)
-    h = attention(q, k, v, heads, dtype=dtype)
+    h = attention_auto(q, k, v, heads, dtype=dtype)
     x = x + linear(h, params, f"{name}.attn1.to_out.0", dtype=dtype)
     # cross-attention
     h = layer_norm(x, params, f"{name}.norm2")

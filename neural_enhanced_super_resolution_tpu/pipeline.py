@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
-    RRDBNetConfig, rrdbnet_forward)
+    RRDBNetConfig, fuse_rrdbnet_params, rrdbnet_forward)
 from neural_enhanced_super_resolution_tpu.models.weights import (
     load_state_dict, rrdbnet_params_from_state_dict)
 from neural_enhanced_super_resolution_tpu.ops.blur import gaussian_blur
@@ -112,6 +112,9 @@ class SuperResolutionPipeline:
                 sd = load_state_dict(path)
                 params = rrdbnet_params_from_state_dict(
                     sd, num_block=model_cfg.num_block)
+                if cfg.get("fuse_rdb", True):
+                    # exact MXU-shaped reparameterisation (models/rrdbnet.py)
+                    params = fuse_rrdbnet_params(params)
                 self.models["esrgan"] = {"params": params, "cfg": model_cfg}
                 logger.info("Real-ESRGAN model loaded successfully")
             except Exception as exc:  # ladder: feature disabled, continue

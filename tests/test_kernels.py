@@ -1,0 +1,59 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_enhanced_super_resolution_tpu.kernels.attention import (
+    attention_auto, flash_attention)
+
+
+def _ref_attention(q, k, v):
+    d = q.shape[-1]
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v)
+
+
+@pytest.mark.parametrize("s,block", [(256, 128), (300, 128), (128, 64)])
+def test_flash_attention_matches_reference(rng, s, block):
+    b, h, d = 1, 2, 64
+    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), block_q=block,
+                                     block_k=block))
+    ref = _ref_attention(q, k, v)
+    assert np.abs(out - ref).max() < 2e-5
+
+
+def test_flash_attention_cross_lengths(rng):
+    # Sq != Skv (cross-attention shape)
+    b, h, d = 1, 2, 32
+    q = rng.standard_normal((b, h, 200, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, 100, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, 100, d)).astype(np.float32)
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), block_q=128,
+                                     block_k=64))
+    ref = _ref_attention(q, k, v)
+    assert np.abs(out - ref).max() < 2e-5
+
+
+def test_attention_auto_dispatches_to_xla_when_masked(rng):
+    from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
+        attention as xla_attention)
+    b, s, dm, h = 1, 16, 32, 2
+    q = jnp.asarray(rng.standard_normal((b, s, dm)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, dm)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, dm)), jnp.float32)
+    mask = jnp.zeros((1, 1, s, s))
+    out = attention_auto(q, k, v, h, mask=mask, dtype=jnp.float32)
+    ref = xla_attention(q, k, v, h, mask=mask, dtype=jnp.float32)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -143,3 +143,19 @@ def test_real_checkpoint_keys_cover_x2plus():
     keys = rrdbnet_state_dict_keys(23)
     assert len(keys) == 12 + 23 * 30
     assert "body.22.rdb3.conv5.bias" in keys
+
+
+def test_fused_rdb_layout_matches_stock():
+    """fuse_rrdbnet_params is an exact reparameterisation (MXU-shaped RDB)."""
+    import jax
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+        fuse_rrdbnet_params)
+    cfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=16,
+                        num_block=3, num_grow_ch=8)
+    params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
+    fused = fuse_rrdbnet_params(params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 10, 12, 12), dtype=np.float32))
+    a = np.asarray(rrdbnet_forward(params, x, cfg, "float32"))
+    b = np.asarray(rrdbnet_forward(fused, x, cfg, "float32"))
+    assert np.abs(a - b).max() < 1e-5
