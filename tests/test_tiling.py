@@ -121,3 +121,24 @@ def test_parity_mode_small_image_bypasses_tiling(rng):
 
     out = process_with_tiling_parity(proc, img, 2, tile_size=32, padding=4)
     assert len(calls) == 1 and out.shape == (40, 40, 3)
+
+
+def test_ensemble_members_sharded_matches_manual(rng):
+    """EP-analog: members on mesh slots, psum-weighted average."""
+    from neural_enhanced_super_resolution_tpu.parallel import (
+        ensemble_members_sharded)
+    mesh = make_mesh(8)
+    img = rng.random((16, 16, 3), dtype=np.float32)
+    # 8 members: scale the image by a per-member factor
+    scales = np.linspace(0.5, 1.2, 8).astype(np.float32)
+    stacked = {"s": jnp.asarray(scales).reshape(8, 1)}
+
+    def model_fn(params, image):
+        return image * params["s"][0]
+
+    weights = np.asarray([1, 1, 1, 1, 2, 2, 2, 2], np.float32)
+    weights = weights / weights.sum()
+    out = np.asarray(ensemble_members_sharded(model_fn, stacked, img, mesh,
+                                              weights=weights))
+    ref = sum(w * s * img for w, s in zip(weights, scales))
+    assert np.allclose(out, ref, atol=1e-6)
