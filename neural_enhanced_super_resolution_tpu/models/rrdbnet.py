@@ -247,9 +247,11 @@ def _nearest_x2(x: jax.Array) -> jax.Array:
     return x.reshape(n, 2 * h, 2 * w, c)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "compute_dtype", "unroll"))
 def rrdbnet_forward(params: dict, x: jax.Array, cfg: RRDBNetConfig,
-                    compute_dtype: str = "bfloat16") -> jax.Array:
+                    compute_dtype: str = "bfloat16",
+                    unroll: int = 1) -> jax.Array:
     """Forward pass. x: (N, H, W, num_in_ch) float32 in [0, 1].
 
     Returns (N, H*scale, W*scale, num_out_ch) float32.
@@ -265,7 +267,8 @@ def rrdbnet_forward(params: dict, x: jax.Array, cfg: RRDBNetConfig,
     def body_step(h, block_params):
         return _rrdb(h, block_params, cdt), None
 
-    body_out, _ = lax.scan(body_step, feat, params["body"])
+    body_out, _ = lax.scan(body_step, feat, params["body"],
+                           unroll=min(unroll, cfg.num_block))
     feat = feat + _conv3x3(body_out, params["conv_body"], cdt)
 
     feat = _lrelu(_conv3x3(_nearest_x2(feat), params["conv_up1"], cdt))

@@ -470,6 +470,8 @@ def _esrgan_jit(params, tiles_u8, cfg: RRDBNetConfig, compute_dtype: str,
                              jnp.clip(bgr * 1.1, 0.0, 1.0),
                              jnp.clip(bgr * 0.9, 0.0, 1.0),
                              blurred], axis=-1)
-    out = rrdbnet_forward(params, x, cfg, compute_dtype)
+    import os as _os
+    out = rrdbnet_forward(params, x, cfg, compute_dtype,
+                          unroll=int(_os.environ.get("NESR_RRDB_UNROLL", "1")))
     out = jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)  # trunc, as ref
     return out[..., ::-1]

@@ -57,3 +57,21 @@ def test_attention_auto_dispatches_to_xla_when_masked(rng):
     out = attention_auto(q, k, v, h, mask=mask, dtype=jnp.float32)
     ref = xla_attention(q, k, v, h, mask=mask, dtype=jnp.float32)
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+@pytest.mark.parametrize("apply_act", [True, False])
+def test_conv3x3_kernel_matches_xla(rng, apply_act):
+    """Experimental im2col conv kernel: exact vs lax.conv (interpret mode)."""
+    from jax import lax
+    from neural_enhanced_super_resolution_tpu.kernels.conv3x3 import (
+        conv3x3_lrelu)
+    x = jnp.asarray(rng.standard_normal((2, 37, 48, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 64)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    if apply_act:
+        ref = jnp.where(ref >= 0, ref, 0.2 * ref)
+    out = conv3x3_lrelu(x, w, b, apply_act=apply_act, block_rows=8)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
