@@ -1,0 +1,67 @@
+"""Runtime layer tests: config merge semantics, device policy, profiler."""
+
+import numpy as np
+import pytest
+
+from neural_enhanced_super_resolution_tpu.runtime.config import (
+    default_config, merge_config)
+from neural_enhanced_super_resolution_tpu.runtime.device import (
+    default_compute_dtype, determine_device)
+from neural_enhanced_super_resolution_tpu.runtime.profiler import StageTimer
+
+
+def test_defaults_match_reference_keys():
+    cfg = default_config()
+    # Reference defaults (nesr.py:33-65)
+    assert cfg["iterations"] == 3
+    assert cfg["use_diffusion"] and cfg["use_esrgan"]
+    assert cfg["use_swinir"] is False
+    assert cfg["denoise_level"] == 0.5
+    assert cfg["upscale_factor"] == 2
+    assert cfg["max_tile_size"] == 512
+    assert cfg["output_dir"] == "outputs"
+    assert "device_specific" in cfg
+    assert cfg["device_specific"]["mps"]["force_3channel"] is True
+
+
+def test_device_overlay_fills_unset_keys():
+    cfg = merge_config("cpu", {})
+    assert cfg["max_megapixels"] == 2  # cpu overlay
+
+
+def test_user_keys_beat_device_overlay():
+    # Mirrors nesr.py:72-77: only keys the user didn't set are overlaid.
+    cfg = merge_config("cpu", {"max_megapixels": 99})
+    assert cfg["max_megapixels"] == 99
+
+
+def test_none_config_is_safe():
+    # The reference crashes on config=None at the overlay (nesr.py:76).
+    cfg = merge_config("cpu", None)
+    assert cfg["iterations"] == 3
+
+
+def test_determine_device_aliases():
+    assert determine_device("cpu") == "cpu"
+    assert determine_device("auto") in ("tpu", "cpu")
+    # accelerator aliases never raise
+    for alias in ("cuda", "mps", "gpu", "tpu"):
+        assert determine_device(alias) in ("tpu", "cpu")
+    assert determine_device("bogus") in ("tpu", "cpu")
+
+
+def test_compute_dtype_policy():
+    assert default_compute_dtype("tpu") == "bfloat16"
+    assert default_compute_dtype("cpu") == "float32"
+
+
+def test_stage_timer_accumulates():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    assert t.counts["a"] == 2 and t.counts["b"] == 1
+    assert set(t.report()) == {"a", "b"}
