@@ -60,7 +60,7 @@ def main() -> int:
         process_tiled)
 
     def model_fn(tiles):
-        return _esrgan_jit(params, tiles, cfg, "bfloat16", False)
+        return _esrgan_jit(params, tiles, cfg, "bfloat16", "stack12")
 
     def run_once():
         # Production code path: uniform halo grid, fixed-size tile batches

@@ -61,7 +61,7 @@ def config_1_esrgan_single():
     def run():
         x = preprocess(img, 0.5)
         y = _esrgan_jit(params, jnp.asarray(x)[None], cfg, "bfloat16",
-                        False)[0]
+                        "stack12")[0]
         return adaptive_sharpen(y)
 
     best = _timer(run)
@@ -107,7 +107,7 @@ def config_3_segmentation_ensemble():
     def run():
         x = masked_sharpen(img, jnp.asarray(mask))
         a = _esrgan_jit(params, jnp.asarray(x)[None], cfg, "bfloat16",
-                        False)[0]
+                        "stack12")[0]
         b = resize(x, dsize=(w * 4, h * 4), interpolation="bicubic")
         return ensemble([a, b])
 

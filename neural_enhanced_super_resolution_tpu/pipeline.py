@@ -70,10 +70,9 @@ class SuperResolutionPipeline:
         """Deliberate no-op — models load lazily on first enhance
         (mirrors nesr.py:134-137)."""
 
-    def _esrgan_weight_paths(self) -> list[str]:
+    def _esrgan_weight_paths(self, fname="RealESRGAN_x2plus.pth") -> list[str]:
         """Search order mirroring the reference (nesr.py:181-188) plus the
         NESR_MODELS_DIR override (downloader.py:56-59)."""
-        fname = "RealESRGAN_x2plus.pth"
         home = os.path.expanduser("~")
         candidates = []
         if self.config.get("esrgan_model_path"):
@@ -96,12 +95,23 @@ class SuperResolutionPipeline:
         if cfg["use_esrgan"] and "esrgan" not in self.models:
             try:
                 logger.info("Loading Real-ESRGAN model...")
-                arch = dict(num_in_ch=12, num_out_ch=3, scale=4, num_feat=64,
-                            num_block=23, num_grow_ch=32)
+                # Variants: '12ch' = the reference's actual construction
+                # (x2plus weights into a 12-input/scale-4 net, nesr.py:216);
+                # 'x2plus'/'x4plus' = the published model semantics.
+                variant = cfg.get("esrgan_variant", "12ch")
+                arch, fname = {
+                    "12ch": (dict(num_in_ch=12, num_out_ch=3, scale=4),
+                             "RealESRGAN_x2plus.pth"),
+                    "x2plus": (dict(num_in_ch=3, num_out_ch=3, scale=2),
+                               "RealESRGAN_x2plus.pth"),
+                    "x4plus": (dict(num_in_ch=3, num_out_ch=3, scale=4),
+                               "RealESRGAN_x4plus.pth"),
+                }[variant]
+                arch.update(num_feat=64, num_block=23, num_grow_ch=32)
                 if cfg.get("esrgan_arch"):
                     arch.update(cfg["esrgan_arch"])
                 model_cfg = RRDBNetConfig(**arch)
-                path = next((p for p in self._esrgan_weight_paths()
+                path = next((p for p in self._esrgan_weight_paths(fname)
                              if p and os.path.exists(p)), None)
                 if path is None:
                     raise FileNotFoundError(
@@ -192,16 +202,23 @@ class SuperResolutionPipeline:
     # ESRGAN ----------------------------------------------------------------
 
     def _esrgan_batch_forward(self, tiles_u8, three_channel: bool):
-        """(N, H, W, 3) uint8 RGB -> (N, 4H, 4W, 3) uint8 RGB.
+        """(N, H, W, 3) uint8 RGB -> (N, sH, sW, 3) uint8 RGB.
 
-        Builds the reference's 12-channel input stack in BGR order
-        (nesr.py:845-903): [bgr, bgr*1.1, bgr*0.9, gaussianblur3(bgr)], or the
-        repeated 3-channel stack (nesr.py:924) in 3-channel mode.
+        12-input variants build the reference's BGR variant stack
+        (nesr.py:845-903) — [bgr, bgr*1.1, bgr*0.9, gaussianblur3(bgr)] — or
+        the repeated stack (nesr.py:924) in 3-channel mode; 3-input variants
+        (x2plus/x4plus) feed BGR directly.
         """
         entry = self.models["esrgan"]
+        if entry["cfg"].num_in_ch == 12:
+            mode = "repeat12" if three_channel else "stack12"
+        else:
+            mode = "direct"
         return _esrgan_jit(entry["params"], jnp.asarray(tiles_u8),
-                           entry["cfg"], self.config["precision"],
-                           bool(three_channel))
+                           entry["cfg"], self.config["precision"], mode)
+
+    def _esrgan_out_scale(self) -> int:
+        return self.models["esrgan"]["cfg"].scale
 
     def _apply_esrgan_12channel(self, image):
         out = self._esrgan_batch_forward(jnp.asarray(image)[None], False)[0]
@@ -277,7 +294,8 @@ class SuperResolutionPipeline:
         # a 2x canvas region; a single full-image resize is the fused form).
         out4 = process_tiled(
             lambda tiles: self._esrgan_batch_forward(tiles, three_channel),
-            image, tile_size=tile_size, halo=padding, scale=4,
+            image, tile_size=tile_size, halo=padding,
+            scale=self._esrgan_out_scale(),
             batch_tiles=self.config.get("tile_batch"))
         h, w = int(image.shape[0]), int(image.shape[1])
         target = (int(w * upscale), int(h * upscale))

@@ -64,7 +64,8 @@ def enhance_image(input_path: str, output_path: str,
     t0 = time.time()
     out = process_tiled(
         lambda tiles: _esrgan_jit(params, tiles, cfg, "bfloat16",
-                                  three_channel),
+                                  "repeat12" if three_channel
+                                  else "stack12"),
         image, tile_size=tile, halo=tile_pad, scale=4)
     import jax
     out = jax.block_until_ready(out)
