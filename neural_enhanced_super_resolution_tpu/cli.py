@@ -77,6 +77,9 @@ def run_cli_mode(args) -> int:
         print("Use --input or -i to specify the input image path.")
         return 2
 
+    if os.path.isdir(args.input):
+        return _run_batch_mode(args)
+
     config = None
     if args.config:
         try:
@@ -120,6 +123,47 @@ def run_cli_mode(args) -> int:
     except Exception as exc:
         print(f"Error during image enhancement: {exc}")
         return 1
+
+
+def _run_batch_mode(args) -> int:
+    """Directory input: stream every image through the serving executor
+    (runtime/executor.py) so host staging overlaps device compute."""
+    from neural_enhanced_super_resolution_tpu import SuperResolutionPipeline
+    from neural_enhanced_super_resolution_tpu.runtime.executor import (
+        BatchExecutor)
+    from neural_enhanced_super_resolution_tpu.utils.io import imwrite_rgb
+
+    exts = {".png", ".jpg", ".jpeg", ".bmp", ".tiff", ".webp"}
+    paths = sorted(
+        os.path.join(args.input, f) for f in os.listdir(args.input)
+        if os.path.splitext(f)[1].lower() in exts)
+    if not paths:
+        print(f"No images found in {args.input}")
+        return 2
+    out_dir = args.output or "outputs"
+    config = {"iterations": args.iterations,
+              "upscale_factor": args.upscale_factor, "output_dir": out_dir}
+    if args.no_diffusion:
+        config["use_diffusion"] = False
+    if args.no_esrgan:
+        config["use_esrgan"] = False
+    if args.no_segmentation:
+        config["segment_enhancement"] = False
+    pipeline = SuperResolutionPipeline(device=args.device, config=config)
+
+    failures = 0
+    with BatchExecutor(pipeline) as ex:
+        for path, result in ex.map_paths(paths, prompt=args.prompt):
+            if isinstance(result, Exception):
+                print(f"FAILED {path}: {result}")
+                failures += 1
+                continue
+            base, ext = os.path.splitext(os.path.basename(path))
+            out_path = os.path.join(out_dir, f"{base}_enhanced{ext}")
+            imwrite_rgb(out_path, result)
+            print(f"{path} -> {out_path}")
+    print(f"Batch complete: {len(paths) - failures}/{len(paths)} succeeded")
+    return 1 if failures else 0
 
 
 def launch_gui() -> int:

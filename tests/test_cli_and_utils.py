@@ -207,3 +207,52 @@ def test_standalone_monolithic_runs_with_tiny_weights(tmp_path, test_image,
     out = pipe.enhance(src, output_dir=str(tmp_path))
     assert out.endswith("_enhanced_x2.0.png")
     assert os.path.exists(out)
+
+
+# ---------------------------------------------------------------- executor --
+
+def test_batch_executor_streams_and_survives_failures(tmp_path, test_image):
+    from neural_enhanced_super_resolution_tpu.runtime.executor import (
+        BatchExecutor)
+    from neural_enhanced_super_resolution_tpu.utils.io import imwrite_rgb
+
+    good1 = str(tmp_path / "a.png")
+    good2 = str(tmp_path / "b.png")
+    bad = str(tmp_path / "missing.png")
+    imwrite_rgb(good1, test_image[:16, :16])
+    imwrite_rgb(good2, test_image[:16, :16])
+
+    class FakePipe:
+        def enhance_array(self, img, prompt=None, iterations=None):
+            return np.repeat(np.repeat(img, 2, 0), 2, 1)
+
+    with BatchExecutor(FakePipe(), prefetch=2) as ex:
+        results = list(ex.map_paths([good1, bad, good2]))
+    assert [p for p, _ in results] == [good1, bad, good2]
+    assert results[0][1].shape == (32, 32, 3)
+    assert isinstance(results[1][1], Exception)
+    assert results[2][1].shape == (32, 32, 3)
+
+
+def test_cli_batch_mode_over_directory(tmp_path, test_image, monkeypatch):
+    from neural_enhanced_super_resolution_tpu.cli import run_cli_mode
+    from neural_enhanced_super_resolution_tpu.utils.io import imwrite_rgb
+    src = tmp_path / "imgs"
+    src.mkdir()
+    imwrite_rgb(str(src / "one.png"), test_image[:16, :16])
+    imwrite_rgb(str(src / "two.jpg"), test_image[:16, :16])
+
+    class FakePipe:
+        def __init__(self, device, config):
+            pass
+
+        def enhance_array(self, img, prompt=None, iterations=None):
+            return np.repeat(np.repeat(img, 2, 0), 2, 1)
+
+    import neural_enhanced_super_resolution_tpu as pkg
+    monkeypatch.setattr(pkg, "SuperResolutionPipeline", FakePipe)
+    args = parse_arguments(["--cli", "-i", str(src), "-o",
+                            str(tmp_path / "out"), "--no_diffusion"])
+    assert run_cli_mode(args) == 0
+    assert os.path.exists(str(tmp_path / "out" / "one_enhanced.png"))
+    assert os.path.exists(str(tmp_path / "out" / "two_enhanced.jpg"))
