@@ -20,7 +20,8 @@ import jax.numpy as jnp
 logger = logging.getLogger("nesr.weights")
 
 __all__ = ["load_state_dict", "rrdbnet_params_from_state_dict",
-           "rrdbnet_state_dict_keys"]
+           "rrdbnet_state_dict_keys", "rrdbnet_state_dict_from_params",
+           "save_state_dict"]
 
 
 def load_state_dict(path: str) -> dict[str, np.ndarray]:
@@ -91,3 +92,41 @@ def rrdbnet_params_from_state_dict(sd: Mapping[str, np.ndarray],
         body[rdb] = convs
     params["body"] = body
     return params
+
+
+def rrdbnet_state_dict_from_params(params, num_block: int | None = None
+                                   ) -> dict[str, np.ndarray]:
+    """Inverse of rrdbnet_params_from_state_dict: our stacked pytree back to
+    basicsr-layout numpy tensors (OIHW). Enables exporting JAX-trained
+    checkpoints in the format every Real-ESRGAN tool understands."""
+    sd: dict[str, np.ndarray] = {}
+    for name in ("conv_first", "conv_body", "conv_up1", "conv_up2",
+                 "conv_hr", "conv_last"):
+        sd[f"{name}.weight"] = np.asarray(
+            params[name]["w"]).transpose(3, 2, 0, 1)
+        sd[f"{name}.bias"] = np.asarray(params[name]["b"])
+    body = params["body"]
+    if "w0" in body.get("rdb1", {}):
+        raise ValueError("params are in fused layout; export the stock "
+                         "layout (fuse_rrdbnet_params is one-way)")
+    nb = num_block or body["rdb1"]["conv1"]["w"].shape[0]
+    for i in range(nb):
+        for rdb in ("rdb1", "rdb2", "rdb3"):
+            for ci in range(1, 6):
+                p = body[rdb][f"conv{ci}"]
+                sd[f"body.{i}.{rdb}.conv{ci}.weight"] = np.asarray(
+                    p["w"][i]).transpose(3, 2, 0, 1)
+                sd[f"body.{i}.{rdb}.conv{ci}.bias"] = np.asarray(p["b"][i])
+    return sd
+
+
+def save_state_dict(sd: Mapping[str, np.ndarray], path: str) -> str:
+    """Save a numpy state dict as .safetensors or torch .pth."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import save_file
+        save_file({k: np.ascontiguousarray(v) for k, v in sd.items()}, path)
+    else:
+        import torch
+        torch.save({"params_ema": {k: torch.from_numpy(
+            np.ascontiguousarray(v)) for k, v in sd.items()}}, path)
+    return path

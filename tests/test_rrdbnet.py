@@ -159,3 +159,35 @@ def test_fused_rdb_layout_matches_stock():
     a = np.asarray(rrdbnet_forward(params, x, cfg, "float32"))
     b = np.asarray(rrdbnet_forward(fused, x, cfg, "float32"))
     assert np.abs(a - b).max() < 1e-5
+
+
+def test_state_dict_export_roundtrip():
+    """params -> basicsr state dict -> params is the identity."""
+    import jax
+    from neural_enhanced_super_resolution_tpu.models.weights import (
+        rrdbnet_state_dict_from_params)
+    cfg = RRDBNetConfig(3, 3, 2, 8, 2, 4)
+    params = init_rrdbnet(jax.random.PRNGKey(3), cfg)
+    sd = rrdbnet_state_dict_from_params(params, cfg.num_block)
+    assert set(sd.keys()) == set(rrdbnet_state_dict_keys(cfg.num_block))
+    back = rrdbnet_params_from_state_dict(sd, num_block=cfg.num_block)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_save_state_dict_formats(tmp_path):
+    import jax
+    from neural_enhanced_super_resolution_tpu.models.weights import (
+        rrdbnet_state_dict_from_params, save_state_dict)
+    cfg = RRDBNetConfig(3, 3, 2, 8, 2, 4)
+    params = init_rrdbnet(jax.random.PRNGKey(3), cfg)
+    sd = rrdbnet_state_dict_from_params(params, cfg.num_block)
+    for name in ("w.safetensors", "w.pth"):
+        path = str(tmp_path / name)
+        save_state_dict(sd, path)
+        loaded = load_state_dict(path)
+        assert set(loaded.keys()) == set(sd.keys())
+        back = rrdbnet_params_from_state_dict(loaded, num_block=2)
+        x = jnp.zeros((1, 8, 8, 3))
+        out = rrdbnet_forward(back, x, cfg, "float32")
+        assert out.shape == (1, 16, 16, 3)
