@@ -56,9 +56,12 @@ def main(argv=None) -> int:
     params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
 
     # Precompute LR (x4 bicubic downsample) once; crops pair up spatially.
-    lr_full = np.asarray(resize(img.astype(np.uint8),
-                                dsize=(w // 4, h // 4),
-                                interpolation="bicubic")).astype(np.float32)
+    # The pipeline always CLAHE-preprocesses before ESRGAN (_preprocess_image,
+    # reference nesr.py:679-687), so train on the same distribution.
+    from neural_enhanced_super_resolution_tpu.ops.enhance import preprocess
+    lr_u8 = np.asarray(resize(img.astype(np.uint8), dsize=(w // 4, h // 4),
+                              interpolation="bicubic"))
+    lr_full = np.asarray(preprocess(lr_u8, 0)).astype(np.float32)
 
     rng = np.random.default_rng(0)
     ps = args.patch
