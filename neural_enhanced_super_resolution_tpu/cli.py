@@ -141,8 +141,13 @@ def _run_batch_mode(args) -> int:
         print(f"No images found in {args.input}")
         return 2
     out_dir = args.output or "outputs"
-    config = {"iterations": args.iterations,
-              "upscale_factor": args.upscale_factor, "output_dir": out_dir}
+    config = {}
+    if args.config:  # JSON config applies in batch mode too; CLI args win
+        with open(args.config) as f:
+            config = json.load(f)
+    config.update({"iterations": args.iterations,
+                   "upscale_factor": args.upscale_factor,
+                   "output_dir": out_dir})
     if args.no_diffusion:
         config["use_diffusion"] = False
     if args.no_esrgan:
