@@ -289,3 +289,40 @@ def test_superres_pipeline_uses_diffusion(tiny_snapshot, tmp_path, test_image):
     out = pipe.enhance_array(test_image[:8, :8])
     assert "diffusion" in pipe.models
     assert out.shape == (16, 16, 3)
+
+
+def test_ddpm_step_matches_closed_form():
+    """One DDPM ancestral step vs. the hand-written posterior formulas."""
+    s = DDPMScheduler(num_train_timesteps=50, beta_schedule="linear")
+    rng = np.random.default_rng(1)
+    xt = jnp.asarray(rng.standard_normal((1, 4, 4, 1)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((1, 4, 4, 1)), jnp.float32)
+    noise = jnp.asarray(rng.standard_normal((1, 4, 4, 1)), jnp.float32)
+    t, prev_t = 20, 15
+    got = np.asarray(s.step(eps, jnp.int32(t), jnp.int32(prev_t), xt, noise))
+
+    ac = np.asarray(s.alphas_cumprod)
+    a_t, a_prev = ac[t], ac[prev_t]
+    cur_alpha = a_t / a_prev
+    cur_beta = 1 - cur_alpha
+    x0 = np.clip((np.asarray(xt) - np.sqrt(1 - a_t) * np.asarray(eps))
+                 / np.sqrt(a_t), -1, 1)
+    mean = (np.sqrt(a_prev) * cur_beta / (1 - a_t)) * x0 + \
+           (np.sqrt(cur_alpha) * (1 - a_prev) / (1 - a_t)) * np.asarray(xt)
+    var = (1 - a_prev) / (1 - a_t) * cur_beta
+    want = mean + np.sqrt(var) * np.asarray(noise)
+    assert np.allclose(got, want, atol=1e-5)
+
+
+def test_v_prediction_recovers_x0():
+    s = DDIMScheduler(num_train_timesteps=100,
+                      prediction_type="v_prediction")
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.standard_normal((1, 4, 4, 1)), jnp.float32)
+    eps = jnp.asarray(rng.standard_normal((1, 4, 4, 1)), jnp.float32)
+    t = jnp.int32(40)
+    xt = s.add_noise(x0, eps, t)
+    a = float(s.alphas_cumprod[40])
+    v = np.sqrt(a) * np.asarray(eps) - np.sqrt(1 - a) * np.asarray(x0)
+    x_prev = s.step(jnp.asarray(v), t, jnp.int32(-1), xt)
+    assert np.allclose(np.asarray(x_prev), np.asarray(x0), atol=1e-5)
