@@ -75,3 +75,19 @@ def test_conv3x3_kernel_matches_xla(rng, apply_act):
         ref = jnp.where(ref >= 0, ref, 0.2 * ref)
     out = conv3x3_lrelu(x, w, b, apply_act=apply_act, block_rows=8)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
+
+
+def test_conv3x3_v2_kernel_matches_xla(rng):
+    """v2 (ky-unfold + lane-roll) im2col conv: exact in interpret mode."""
+    from jax import lax
+    from neural_enhanced_super_resolution_tpu.kernels.conv3x3_v2 import (
+        conv3x3_lrelu_v2)
+    x = jnp.asarray(rng.standard_normal((2, 21, 40, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 32)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((32,)) * 0.1, jnp.float32)
+    ref = lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    ref = jnp.where(ref >= 0, ref, 0.2 * ref)
+    out = conv3x3_lrelu_v2(x, w, b, block_rows=8)
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
