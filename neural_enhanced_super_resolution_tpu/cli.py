@@ -93,8 +93,8 @@ def run_cli_mode(args) -> int:
     base_config = {
         "iterations": args.iterations,
         "upscale_factor": args.upscale_factor,
-        "output_dir": (os.path.dirname(args.output) if args.output
-                       else "outputs"),
+        "output_dir": (os.path.dirname(args.output) or "outputs"
+                       if args.output else "outputs"),
     }
     if args.no_diffusion:
         base_config["use_diffusion"] = False
@@ -174,10 +174,10 @@ def _run_batch_mode(args) -> int:
 def launch_gui() -> int:
     try:
         from neural_enhanced_super_resolution_tpu.gui import run_gui
+        return run_gui()
     except ImportError as exc:
         print(f"GUI unavailable ({exc}). Install PyQt5 or use --cli.")
         return 2
-    return run_gui()
 
 
 def main(argv=None) -> int:

@@ -48,6 +48,21 @@ if HAS_QT:  # pragma: no cover - Qt widgets need a display to exercise
         qimg = QImage(img.data, w, h, 3 * w, QImage.Format_RGB888)
         return QPixmap.fromImage(qimg.copy())
 
+    class _WorkerBridge(QObject):
+        """Marshals worker-thread events onto the GUI thread.
+
+        EnhancementWorker runs on a plain thread and invokes callbacks
+        directly; Qt widgets are not thread-safe, so the app hands the worker
+        these signals' ``emit`` methods and connects the signals (queued to
+        the main thread by Qt) to the widget-mutating slots — the same
+        pattern as the reference's pyqtSignal workers (app.py:75-78)."""
+        progress = pyqtSignal(str, int, int, str)
+        image = pyqtSignal(object)
+        finished = pyqtSignal(str)
+        error = pyqtSignal(str)
+        dl_progress = pyqtSignal(float)
+        dl_finished = pyqtSignal(object)
+
     class _LogBridge(QObject, logging.Handler):
         """logging.Handler -> Qt signal (reference LogHandler,
         app.py:61-70)."""
@@ -163,6 +178,17 @@ if HAS_QT:  # pragma: no cover - Qt widgets need a display to exercise
             self.degradation = DegradationState()
             self.worker: EnhancementWorker | None = None
             self.input_path: str | None = None
+            # Worker events cross the thread boundary via queued signals.
+            self.bridge = _WorkerBridge()
+            self.bridge.progress.connect(self._on_progress)
+            self.bridge.image.connect(self._on_image)
+            self.bridge.finished.connect(self._on_finished)
+            self.bridge.error.connect(self._on_error)
+            self.bridge.dl_progress.connect(
+                lambda f: self.progress.setValue(int(f * 100)))
+            self.bridge.dl_finished.connect(
+                lambda r: QMessageBox.information(self, "NESR",
+                                                  f"Downloads: {r}"))
             self._build_ui()
             self._check_models_on_start()
 
@@ -369,8 +395,10 @@ if HAS_QT:  # pragma: no cover - Qt widgets need a display to exercise
                                                config=s.to_config())
             self.worker = EnhancementWorker(
                 pipeline, self.input_path, s.prompt or None,
-                on_progress=self._on_progress, on_image=self._on_image,
-                on_finished=self._on_finished, on_error=self._on_error)
+                on_progress=lambda *a: self.bridge.progress.emit(*a),
+                on_image=self.bridge.image.emit,
+                on_finished=self.bridge.finished.emit,
+                on_error=self.bridge.error.emit)
             self.progress.setRange(0, s.iterations)
             self.worker.start()
 
@@ -380,10 +408,9 @@ if HAS_QT:  # pragma: no cover - Qt widgets need a display to exercise
 
         def _download_models(self):
             self.dl_worker = ModelDownloadWorker(
-                on_progress=lambda f: self.progress.setValue(int(f * 100)),
-                on_finished=lambda r: QMessageBox.information(
-                    self, "NESR", f"Downloads: {r}"),
-                on_error=lambda e: QMessageBox.critical(self, "NESR", e))
+                on_progress=self.bridge.dl_progress.emit,
+                on_finished=self.bridge.dl_finished.emit,
+                on_error=self.bridge.error.emit)
             self.progress.setRange(0, 100)
             self.dl_worker.start()
 

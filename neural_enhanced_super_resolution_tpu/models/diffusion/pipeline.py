@@ -70,11 +70,14 @@ class UpscalePipeline:
                 max_length=self.text_cfg.max_position_embeddings,
                 truncation=True, return_tensors="np").input_ids
             return ids.astype(np.int32)
-        # Deterministic fallback (testing without tokenizer files): hash
-        # words into the vocab, bos/eos framed like CLIP.
+        # Deterministic fallback (testing without tokenizer files): stable
+        # crc32 word hashing (builtin hash() is salted per process), bos/eos
+        # framed like CLIP.
+        import zlib
         words = text.lower().split()
         bos, eos = 49406, 49407
-        ids = [bos] + [hash(w) % 49000 for w in words][:75] + [eos]
+        ids = [bos] + [zlib.crc32(w.encode()) % 49000
+                       for w in words][:75] + [eos]
         ids += [eos] * (self.text_cfg.max_position_embeddings - len(ids))
         return np.asarray([ids], dtype=np.int32)
 

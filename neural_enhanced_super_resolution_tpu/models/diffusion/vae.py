@@ -114,10 +114,12 @@ def vae_encode(params: dict, image: jax.Array, cfg: VAEConfig,
         for li in range(cfg.layers_per_block):
             x = _resnet(params, f"{bname}.resnets.{li}", x, groups, dtype)
         if bi < n_blocks - 1:
+            # diffusers VAE encoder: Downsample2D(padding=0) -> explicit
+            # (0,1,0,1) asymmetric pad + VALID stride-2 conv.
             x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
             w = params[f"{bname}.downsamplers.0.conv.weight"].astype(dtype)
             x = jax.lax.conv_general_dilated(
-                x.astype(dtype), w, (2, 2), ((1, 0), (1, 0)),
+                x.astype(dtype), w, (2, 2), ((0, 0), (0, 0)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32)
             x = x + params[f"{bname}.downsamplers.0.conv.bias"]

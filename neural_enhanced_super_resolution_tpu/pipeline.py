@@ -473,13 +473,13 @@ class SuperResolutionPipeline:
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "compute_dtype", "three_channel"))
+                   static_argnames=("cfg", "compute_dtype", "mode"))
 def _esrgan_jit(params, tiles_u8, cfg: RRDBNetConfig, compute_dtype: str,
-                three_channel: bool):
+                mode: str = "stack12"):
     bgr = tiles_u8[..., ::-1].astype(jnp.float32) / 255.0
-    if three_channel:
+    if mode == "repeat12":
         x = jnp.concatenate([bgr, bgr, bgr, bgr], axis=-1)
-    else:
+    elif mode == "stack12":
         # blur runs on uint8 (cv2.GaussianBlur semantics incl. rounding),
         # exactly like the reference's stack builder (nesr.py:870-875).
         blurred = jax.vmap(lambda t: gaussian_blur(t, (3, 3), 0.0))(
@@ -488,8 +488,19 @@ def _esrgan_jit(params, tiles_u8, cfg: RRDBNetConfig, compute_dtype: str,
                              jnp.clip(bgr * 1.1, 0.0, 1.0),
                              jnp.clip(bgr * 0.9, 0.0, 1.0),
                              blurred], axis=-1)
+    elif mode == "direct":  # x2plus / x4plus published 3-channel semantics
+        x = bgr
+    else:
+        raise ValueError(f"unknown esrgan input mode {mode!r}")
+    # pixel-unshuffle variants need even spatial dims (static pad + crop)
+    h, w = x.shape[1], x.shape[2]
+    ph_, pw_ = (h % 2, w % 2) if cfg.scale == 2 else (0, 0)
+    if ph_ or pw_:
+        x = jnp.pad(x, ((0, 0), (0, ph_), (0, pw_), (0, 0)), mode="edge")
     import os as _os
     out = rrdbnet_forward(params, x, cfg, compute_dtype,
                           unroll=int(_os.environ.get("NESR_RRDB_UNROLL", "1")))
+    if ph_ or pw_:
+        out = out[:, :h * cfg.scale, :w * cfg.scale]
     out = jnp.clip(out * 255.0, 0.0, 255.0).astype(jnp.uint8)  # trunc, as ref
     return out[..., ::-1]

@@ -82,7 +82,10 @@ def get_model_path(model_key: str) -> str:
     info = MODELS[model_key]
     if info.get("path"):
         return os.path.join(models_dir, info["path"])
-    return os.path.join(models_dir, "huggingface", model_key.split("/")[-1])
+    # HF snapshots live under the repo-id tail — the same directory
+    # download_huggingface_model and check_models_exist use.
+    return os.path.join(models_dir, "huggingface",
+                        info["huggingface_id"].split("/")[-1])
 
 
 def check_models_exist() -> dict[str, bool]:

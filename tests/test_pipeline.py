@@ -167,5 +167,12 @@ def test_x2plus_variant(tmp_path, test_image):
     # inject tiny weights directly (checkpoint path covered elsewhere)
     pipe.models["esrgan"] = {
         "params": init_rrdbnet(jax.random.PRNGKey(0), cfg), "cfg": cfg}
-    out = pipe.enhance_array(test_image[:33, :41])  # odd dims: pad path
+    src = test_image[:33, :41]
+    out = pipe.enhance_array(src)  # odd dims: pad path
     assert out.shape == (66, 82, 3)
+    # The model must actually have run — bicubic fallback (same shape)
+    # would mean the x2plus forward crashed and the ladder swallowed it.
+    from neural_enhanced_super_resolution_tpu.ops.resize import resize
+    bicubic = np.asarray(resize(src, dsize=(82, 66),
+                                interpolation="bicubic"))
+    assert np.abs(out.astype(int) - bicubic.astype(int)).mean() > 2.0
