@@ -326,3 +326,32 @@ def test_v_prediction_recovers_x0():
     v = np.sqrt(a) * np.asarray(eps) - np.sqrt(1 - a) * np.asarray(x0)
     x_prev = s.step(jnp.asarray(v), t, jnp.int32(-1), xt)
     assert np.allclose(np.asarray(x_prev), np.asarray(x0), atol=1e-5)
+
+
+def test_full_ensemble_esrgan_plus_diffusion(tiny_snapshot, tmp_path,
+                                             test_image):
+    """Both upscalers active in one iteration: outputs get ensembled
+    (the reference's core multi-model value proposition, nesr.py:552-596)."""
+    import jax
+    from neural_enhanced_super_resolution_tpu import SuperResolutionPipeline
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+        RRDBNetConfig, init_rrdbnet)
+
+    arch = dict(num_in_ch=12, num_out_ch=3, scale=4, num_feat=8, num_block=2,
+                num_grow_ch=4)
+    cfg = RRDBNetConfig(**arch)
+    pipe = SuperResolutionPipeline(device="cpu", config={
+        "iterations": 1, "segment_enhancement": False, "denoise_level": 0,
+        "adaptive_sharpening": False, "use_diffusion": True,
+        "diffusion_model_path": tiny_snapshot, "num_inference_steps": 2,
+        "esrgan_arch": arch, "output_dir": str(tmp_path / "out")})
+    pipe.models["esrgan"] = {
+        "params": init_rrdbnet(jax.random.PRNGKey(0), cfg), "cfg": cfg}
+
+    stages = []
+    pipe.config["progress_callback"] = lambda s, i, t, m: stages.append(s)
+    out = pipe.enhance_array(test_image[:8, :8])
+    assert "ESRGAN" in stages and "Diffusion" in stages and "Ensemble" in stages
+    # esrgan: 8->32 (x4); tiny-vae diffusion: 8->16; ensemble aligns to the
+    # lexicographic max (32, 32) like the reference.
+    assert out.shape == (32, 32, 3)
