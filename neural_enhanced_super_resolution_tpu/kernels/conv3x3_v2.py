@@ -16,12 +16,13 @@ Falls back to interpret mode off-TPU. Exactness is tested in
 tests/test_kernels.py; on-TPU compile/perf status is recorded in
 benchmarks/RESULTS.md.
 
-Status on this environment's remote compiler: the layout passes Mosaic
-lowering (v1's alignment errors are gone) and reaches VMEM allocation —
-bh=16 needs 20.2 MB scoped VMEM (>16 MB limit); bh<=8 fits on paper but the
-axon remote-compile service did not complete the build within its budget.
-Next session on directly-attached hardware: compile at bh=8, then shrink the
-live set (per-ky f32 roll copies dominate) to reach bh=16/32.
+Measured status (v5e): compiles and is numerically correct at bh=8
+(maxerr ~0.016 vs lax.conv in bf16; bh=16 exceeds the 16 MB scoped-VMEM
+limit), but runs at ~6.7 TF/s vs XLA conv's ~25-35 at the same shape —
+too little work per program at bh=8, f32 roll copies, and no double
+buffering. XLA conv remains the production path; to revisit, shrink the
+live set (fold the f32 casts into the matmul operands) so bh=32 fits, and
+double-buffer the row blocks.
 """
 
 from __future__ import annotations
