@@ -110,7 +110,7 @@ class DegradationState:
                 blur_radius: int = 0, jpeg_quality: int = 100,
                 rng: np.random.Generator | None = None) -> np.ndarray:
         """Apply the degradation chain in the reference's order:
-        downsample -> blur -> noise -> jpeg (degrade_image, app.py:1567-1617).
+        downsample -> noise -> blur -> jpeg (degrade_image, app.py:1567-1617).
         """
         if self.original is None:
             raise ValueError("no image loaded")
@@ -119,10 +119,10 @@ class DegradationState:
         img = self.original
         if downscale < 1.0:
             img = downsample_image(img, downscale)
-        if blur_radius > 0:
-            img = blur_image(img, blur_type, blur_radius)
         if noise_amount > 0:
             img = add_noise(img, noise_type, noise_amount, rng=rng)
+        if blur_radius > 0:
+            img = blur_image(img, blur_type, blur_radius)
         if jpeg_quality < 100:
             img = apply_jpeg_compression(img, jpeg_quality)
         self.degraded = np.asarray(img)
