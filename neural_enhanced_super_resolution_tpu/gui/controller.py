@@ -35,19 +35,29 @@ __all__ = ["DegradationState", "EnhancementSettingsState", "PRESETS",
 # ---------------------------------------------------------------- presets ---
 
 PRESETS = {
-    # Mirrors the reference's four presets (app.py:935-986).
-    "Fast": {"iterations": 1, "use_diffusion": False, "use_esrgan": True,
-             "segment_enhancement": False, "denoise_level": 0.3,
+    # The reference's four presets, exact values (app.py:935-986; its
+    # denoise slider is 0-10, stored here /10 like the pipeline expects).
+    "Default": {"iterations": 3, "upscale_factor": 2.0, "use_esrgan": True,
+                "use_diffusion": True, "segment_enhancement": True,
+                "prompt": "a high resolution detailed photograph",
+                "denoise_level": 0.5, "adaptive_sharpening": True},
+    "High Quality": {"iterations": 3, "upscale_factor": 2.0,
+                     "use_esrgan": True, "use_diffusion": True,
+                     "segment_enhancement": True,
+                     "prompt": "a highly detailed professional photograph",
+                     "denoise_level": 0.3, "adaptive_sharpening": True},
+    "Fast": {"iterations": 2, "upscale_factor": 2.0, "use_esrgan": True,
+             "use_diffusion": False, "segment_enhancement": False,
+             "prompt": "", "denoise_level": 0.5,
              "adaptive_sharpening": True},
-    "Balanced": {"iterations": 2, "use_diffusion": True, "use_esrgan": True,
-                 "segment_enhancement": True, "denoise_level": 0.5,
-                 "adaptive_sharpening": True},
-    "Quality": {"iterations": 3, "use_diffusion": True, "use_esrgan": True,
-                "segment_enhancement": True, "denoise_level": 0.5,
-                "adaptive_sharpening": True},
-    "Maximum": {"iterations": 4, "use_diffusion": True, "use_esrgan": True,
-                "segment_enhancement": True, "denoise_level": 0.7,
-                "adaptive_sharpening": True},
+    # Reference's accelerator preset (kept under its original name for
+    # config compatibility; device aliasing maps mps-era settings to TPU).
+    "Apple Silicon Optimized": {"iterations": 2, "upscale_factor": 2.0,
+                                "use_esrgan": True, "use_diffusion": True,
+                                "segment_enhancement": False,
+                                "prompt": "a detailed photograph",
+                                "denoise_level": 0.5,
+                                "adaptive_sharpening": True},
 }
 
 

@@ -11,12 +11,16 @@ from neural_enhanced_super_resolution_tpu.gui.controller import (
 
 
 def test_presets_cover_reference_set():
-    assert set(PRESETS) == {"Fast", "Balanced", "Quality", "Maximum"}
+    # Exact preset names/values from the reference GUI (app.py:935-986).
+    assert set(PRESETS) == {"Default", "High Quality", "Fast",
+                            "Apple Silicon Optimized"}
     s = EnhancementSettingsState()
     s.apply_preset("Fast")
-    assert s.iterations == 1 and not s.use_diffusion
-    s.apply_preset("Maximum")
-    assert s.iterations == 4 and s.denoise_level == 0.7
+    assert s.iterations == 2 and not s.use_diffusion
+    assert not s.segment_enhancement
+    s.apply_preset("High Quality")
+    assert s.iterations == 3 and s.denoise_level == 0.3
+    assert s.prompt == "a highly detailed professional photograph"
 
 
 def test_settings_to_config_keys_match_pipeline():
