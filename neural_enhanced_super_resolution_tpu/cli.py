@@ -143,8 +143,12 @@ def _run_batch_mode(args) -> int:
     out_dir = args.output or "outputs"
     config = {}
     if args.config:  # JSON config applies in batch mode too; CLI args win
-        with open(args.config) as f:
-            config = json.load(f)
+        try:
+            with open(args.config) as f:
+                config = json.load(f)
+        except Exception as exc:
+            print(f"Error loading configuration: {exc}")
+            return 2
     config.update({"iterations": args.iterations,
                    "upscale_factor": args.upscale_factor,
                    "output_dir": out_dir})

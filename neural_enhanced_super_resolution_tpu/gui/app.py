@@ -366,6 +366,7 @@ if HAS_QT:  # pragma: no cover - Qt widgets need a display to exercise
             self.e_segment.setChecked(self.settings.segment_enhancement)
             self.e_denoise.setValue(self.settings.denoise_level)
             self.e_sharpen.setChecked(self.settings.adaptive_sharpening)
+            self.e_prompt.setText(self.settings.prompt)
 
         def _collect_settings(self):
             s = self.settings

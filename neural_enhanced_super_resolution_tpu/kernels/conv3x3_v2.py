@@ -102,7 +102,7 @@ def _impl(x, w2d, bias, block_rows, negative_slope, apply_act, interpret):
 
 def conv3x3_lrelu_v2(x: jax.Array, w: jax.Array, b: jax.Array,
                      negative_slope: float = 0.2, apply_act: bool = True,
-                     block_rows: int = 16,
+                     block_rows: int = 8,
                      interpret: bool | None = None) -> jax.Array:
     """Fused SAME conv3x3 + bias (+LeakyReLU); see module docstring."""
     if interpret is None:

@@ -94,8 +94,7 @@ def check_models_exist() -> dict[str, bool]:
     models_dir = get_models_dir()
     for key, info in MODELS.items():
         if info.get("huggingface_id"):
-            local = os.path.join(models_dir, "huggingface",
-                                 info["huggingface_id"].split("/")[-1])
+            local = get_model_path(key)
             if os.path.isdir(local) and os.listdir(local):
                 result[key] = True
                 continue
@@ -175,9 +174,8 @@ def download_huggingface_model(model_key: str, progress_callback=None) -> bool:
     info = MODELS[model_key]
     try:
         from huggingface_hub import snapshot_download
-        local_dir = os.path.join(get_models_dir(), "huggingface",
-                                 info["huggingface_id"].split("/")[-1])
-        snapshot_download(info["huggingface_id"], local_dir=local_dir)
+        snapshot_download(info["huggingface_id"],
+                          local_dir=get_model_path(model_key))
         if progress_callback:
             progress_callback(1.0)
         return True
