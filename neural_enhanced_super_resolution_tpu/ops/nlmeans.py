@@ -54,28 +54,31 @@ def _nl_means_f32(img: jax.Array, h: jax.Array, sigma: jax.Array,
     center = lax.slice(ext, (sr, sr, 0), (sr + H + 2 * tr, sr + W + 2 * tr, C))
 
     t_area = float(template * template * C)
-    offsets = np.stack(np.meshgrid(np.arange(search), np.arange(search),
-                                   indexing="ij"), axis=-1).reshape(-1, 2)
-    offsets = jnp.asarray(offsets, dtype=jnp.int32)
-
     inv_h2 = 1.0 / (h * h)
     two_sigma2 = 2.0 * sigma * sigma
 
-    def step(carry, off):
-        num, den = carry
-        dy, dx = off[0], off[1]
+    def one_offset(dy, dx):
         shifted = lax.dynamic_slice(ext, (dy, dx, 0),
                                     (H + 2 * tr, W + 2 * tr, C))
         d2 = jnp.sum((center - shifted) ** 2, axis=-1)
         dist = _box_sum_valid(d2, template) / t_area  # (H, W)
         wgt = jnp.exp(-jnp.maximum(dist - two_sigma2, 0.0) * inv_h2)
         s_center = lax.slice(shifted, (tr, tr, 0), (tr + H, tr + W, C))
-        num = num + wgt[:, :, None] * s_center
-        den = den + wgt
-        return (num, den), None
+        return wgt[:, :, None] * s_center, wgt
+
+    # Scan over search ROWS, vmapping the `search` column offsets inside —
+    # 21 sequential steps of wide parallel work instead of 441 tiny ones
+    # (shorter program, much better VPU occupancy on TPU).
+    dxs = jnp.arange(search, dtype=jnp.int32)
+
+    def row_step(carry, dy):
+        num, den = carry
+        nums, wgts = jax.vmap(lambda dx: one_offset(dy, dx))(dxs)
+        return (num + jnp.sum(nums, axis=0), den + jnp.sum(wgts, axis=0)), None
 
     init = (jnp.zeros((H, W, C), jnp.float32), jnp.zeros((H, W), jnp.float32))
-    (num, den), _ = lax.scan(step, init, offsets)
+    (num, den), _ = lax.scan(row_step, init,
+                             jnp.arange(search, dtype=jnp.int32))
     return num / den[:, :, None]
 
 
