@@ -57,13 +57,22 @@ def _clahe_u8(src: jax.Array, *, clip_limit: float, tiles_y: int,
     tile_area = th * tw
     n_tiles = tiles_y * tiles_x
 
-    # --- per-tile histograms (scatter-add over flat tile*256 bins) ---
+    # --- per-tile histograms ---
+    # Chunked one-hot compare+reduce: ~2x faster than scatter-add on TPU
+    # (the VPU streams fused compare/sum; scatter serializes).
     vals = ext.reshape(tiles_y, th, tiles_x, tw).transpose(0, 2, 1, 3)
     vals = vals.reshape(n_tiles, tile_area).astype(jnp.int32)
-    tile_ids = jax.lax.broadcasted_iota(jnp.int32, (n_tiles, tile_area), 0)
-    flat = (tile_ids * 256 + vals).reshape(-1)
-    hist = jnp.zeros((n_tiles * 256,), jnp.int32).at[flat].add(1)
-    hist = hist.reshape(n_tiles, 256)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    n_chunks = 16 if tile_area % 16 == 0 else 1
+    chunks = vals.reshape(n_tiles, n_chunks,
+                          tile_area // n_chunks).transpose(1, 0, 2)
+
+    def _accum(carry, v):
+        return carry + jnp.sum(v[:, :, None] == bins, axis=1,
+                               dtype=jnp.int32), None
+
+    hist, _ = jax.lax.scan(_accum, jnp.zeros((n_tiles, 256), jnp.int32),
+                           chunks)
 
     # --- clip + redistribute (OpenCV's batch + strided-residual scheme) ---
     if clip_limit > 0:
