@@ -44,7 +44,10 @@ def default_config() -> dict[str, Any]:
         "memory_efficient": False,
         "device_specific": {
             "tpu": {
-                "max_megapixels": 8,       # tiling threshold, like cuda's 8
+                # Tile above 4 MP: the fixed-shape tile batch reuses one
+                # compiled program (vs a fresh whole-image compile per size)
+                # and bounds activation HBM for the 12ch/scale-4 model.
+                "max_megapixels": 4,
                 "half_precision": True,    # bf16 on TPU
             },
             "cpu": {
