@@ -260,8 +260,9 @@ class SuperResolutionPipeline:
             if use_tiling:
                 logger.info("Using tiled processing with %dx%d tiles",
                             tile_size, tile_size)
-                return self._esrgan_tiled(image, use_3channel, tile_size,
-                                          padding=16)
+                return self._esrgan_tiled(
+                    image, use_3channel, tile_size,
+                    padding=self.config.get("tile_halo", 16))
             if use_3channel:
                 return self._apply_esrgan_3channel(image)
             return self._apply_esrgan_12channel(image)

@@ -63,6 +63,7 @@ def default_config() -> dict[str, Any]:
         "precision": None,            # None -> per-device default
         "parity_tiling": False,
         "tile_batch": None,
+        "tile_halo": 16,              # overlap halo px (reference pad=16)
         "esrgan_model_path": None,
         "esrgan_arch": None,
         "diffusion_model_path": None,
