@@ -62,7 +62,9 @@ def default_config() -> dict[str, Any]:
         # --- TPU-native extras ---
         "precision": None,            # None -> per-device default
         "parity_tiling": False,
-        "tile_batch": None,
+        # 16 tiles per device batch: the measured v5e sweet spot, and an HBM
+        # guard (None = all tiles at once OOMs on 4K+ images).
+        "tile_batch": 16,
         "tile_halo": 16,              # overlap halo px (reference pad=16)
         "esrgan_model_path": None,
         "esrgan_arch": None,
