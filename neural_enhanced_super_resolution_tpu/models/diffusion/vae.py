@@ -65,7 +65,11 @@ def _attn_block(params, name, x, groups, dtype):
     q = linear(flat, params, f"{name}.to_q", dtype=dtype)
     k = linear(flat, params, f"{name}.to_k", dtype=dtype)
     v = linear(flat, params, f"{name}.to_v", dtype=dtype)
-    out = attention(q, k, v, num_heads=1, dtype=dtype)
+    # Mid-block attention runs at full latent resolution — S grows with the
+    # image, so route through the flash-attention dispatcher.
+    from neural_enhanced_super_resolution_tpu.kernels.attention import (
+        attention_auto)
+    out = attention_auto(q, k, v, num_heads=1, dtype=dtype)
     out = linear(out, params, f"{name}.to_out.0", dtype=dtype)
     return out.reshape(n, h_, w_, c) + res
 
