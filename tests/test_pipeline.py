@@ -176,3 +176,21 @@ def test_x2plus_variant(tmp_path, test_image):
     bicubic = np.asarray(resize(src, dsize=(82, 66),
                                 interpolation="bicubic"))
     assert np.abs(out.astype(int) - bicubic.astype(int)).mean() > 2.0
+
+
+def test_parity_tiling_mode_through_pipeline(tmp_path, tiny_ckpt, test_image):
+    """parity_tiling=True routes through the reference-exact stitch
+    arithmetic (host tile loop) and still produces the 2x canvas."""
+    img = test_image[:96, :96]
+    pipe = _mk_pipeline(tmp_path, tiny_ckpt, adaptive_sharpening=False,
+                        enable_tiling=True, max_megapixels=0.001,
+                        max_tile_size=48, parity_tiling=True)
+    out = pipe.enhance_array(img)
+    assert out.shape == (192, 192, 3)
+    # compare against the fast tiled path: same canvas, similar content
+    pipe_fast = _mk_pipeline(tmp_path, tiny_ckpt, adaptive_sharpening=False,
+                             enable_tiling=True, max_megapixels=0.001,
+                             max_tile_size=48, parity_tiling=False)
+    fast = pipe_fast.enhance_array(img)
+    assert fast.shape == out.shape
+    assert float(psnr(out, fast)) > 20.0  # halo handling differs only at seams
