@@ -68,15 +68,22 @@ def main() -> int:
         return process_tiled(model_fn, image, tile_size=TILE, halo=HALO,
                              scale=4, batch_tiles=BATCH)
 
+    import jax.numpy as _jnp
+
+    def run_and_sync():
+        # Force real execution with a scalar fetch: block_until_ready can
+        # return early over remote-device tunnels (see benchmarks/RESULTS.md).
+        return float(_jnp.sum(run_once().astype(_jnp.float32)))
+
     # Warmup (compile)
     t0 = time.perf_counter()
-    jax.block_until_ready(run_once())
+    run_and_sync()
     compile_s = time.perf_counter() - t0
 
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        jax.block_until_ready(run_once())
+        run_and_sync()
         times.append(time.perf_counter() - t0)
 
     best = min(times)

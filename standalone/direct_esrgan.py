@@ -67,14 +67,13 @@ def enhance_image(input_path: str, output_path: str,
                                   "repeat12" if three_channel
                                   else "stack12"),
         image, tile_size=tile, halo=tile_pad, scale=4)
-    import jax
-    out = jax.block_until_ready(out)
-    elapsed = time.time() - t0
+    import numpy as np
+    out = np.asarray(out)  # fetch forces completion (block_until_ready can
+    elapsed = time.time() - t0  # return early over remote-device tunnels)
     logger.info("Processing took %.2f seconds (%.2f MP/s input)", elapsed,
                 image.shape[0] * image.shape[1] / 1e6 / elapsed)
 
-    import numpy as np
-    imwrite_rgb(output_path, np.asarray(out))
+    imwrite_rgb(output_path, out)
     logger.info("Saved: %s", output_path)
     return output_path
 
