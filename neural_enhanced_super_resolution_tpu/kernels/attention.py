@@ -107,12 +107,16 @@ def _flash_attention_body(q: jax.Array, k: jax.Array, v: jax.Array,
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
     if pk:
         # Exact mask for padded keys: append a large negative component on an
-        # extra feature dimension. q gets +1 on that dim, padded k gets +BIG,
-        # real k gets 0 -> padded scores ~ -BIG, exp -> 0.
+        # extra feature dimension. q gets +1 on that dim, padded k gets -BIG,
+        # real k gets 0 -> padded scores ~ -BIG/sqrt(d), exp -> 0. BIG must
+        # still dominate after the 1/sqrt(d) scale and any real score
+        # (|s| <= d*max|q|*max|k|/sqrt(d)), so use 1e9, not 1e4
+        # (ADVICE.md round 1: -1e4/sqrt(64) ~ -1250 is reachable by real
+        # scores, letting zero-valued padded rows capture softmax mass).
         extra_q = jnp.ones((b, h, sq + pq, 1), q.dtype)
         valid = jnp.concatenate([
             jnp.zeros((b, h, skv, 1), k.dtype),
-            jnp.full((b, h, pk, 1), -1e4, k.dtype)], axis=2)
+            jnp.full((b, h, pk, 1), -1e9, k.dtype)], axis=2)
         qp = jnp.concatenate([qp, extra_q], axis=-1)
         kp = jnp.concatenate([kp, valid], axis=-1)
         dk = d + 1

@@ -20,6 +20,25 @@ __all__ = ["convert_state_dict", "load_component", "read_json"]
 _EMBEDDING_MARKERS = ("token_embedding", "position_embedding",
                       "class_embedding", "position_ids")
 
+# Deprecated diffusers AttentionBlock names (pre-0.15 checkpoints, e.g. the
+# published stable-diffusion-x4-upscaler VAE) -> the to_q/to_k/to_v/to_out.0
+# names vae.py looks up. diffusers renames these at load time; we must too,
+# or attention params silently go missing (ADVICE.md round 1, medium).
+_DEPRECATED_ATTN = {".query.": ".to_q.", ".key.": ".to_k.",
+                    ".value.": ".to_v.", ".proj_attn.": ".to_out.0."}
+
+
+def _canonicalize_attn(name: str, arr: np.ndarray) -> tuple[str, np.ndarray]:
+    for old, new in _DEPRECATED_ATTN.items():
+        if old in name:
+            name = name.replace(old, new)
+            # Oldest checkpoints store these projections as 1x1 convs;
+            # squeeze to 2-D so the linear-weight transpose rule applies.
+            if arr.ndim == 4 and arr.shape[2] == arr.shape[3] == 1:
+                arr = arr[:, :, 0, 0]
+            break
+    return name, arr
+
 
 def convert_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
     """Convert a torch state dict (numpy values) to flat JAX params."""
@@ -28,6 +47,7 @@ def convert_state_dict(sd: Mapping[str, np.ndarray]) -> dict:
         if name.endswith("position_ids"):
             continue  # buffer, not a parameter
         arr = np.asarray(val)
+        name, arr = _canonicalize_attn(name, arr)
         if name.endswith(".weight") and arr.ndim == 4:
             arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
         elif (name.endswith(".weight") and arr.ndim == 2

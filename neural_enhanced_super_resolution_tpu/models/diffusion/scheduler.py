@@ -15,6 +15,8 @@ formulations with the beta-schedule conventions used by SD checkpoints
 
 from __future__ import annotations
 
+import logging
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -40,20 +42,36 @@ def _make_betas(num_train_timesteps: int, beta_start: float, beta_end: float,
 
 
 class _SchedulerBase:
+    _default_clip_sample = True
+
     def __init__(self, num_train_timesteps: int = 1000,
                  beta_start: float = 0.0001, beta_end: float = 0.02,
                  beta_schedule: str = "scaled_linear",
                  prediction_type: str = "epsilon",
-                 steps_offset: int = 0, **_ignored):
+                 steps_offset: int = 0,
+                 clip_sample: bool | None = None,
+                 set_alpha_to_one: bool = True,
+                 **ignored):
         self.num_train_timesteps = int(num_train_timesteps)
         self.prediction_type = prediction_type
         self.steps_offset = int(steps_offset)
+        self.clip_sample = (self._default_clip_sample if clip_sample is None
+                            else bool(clip_sample))
         betas = _make_betas(self.num_train_timesteps, beta_start, beta_end,
                             beta_schedule)
         alphas = 1.0 - betas
         self.betas = jnp.asarray(betas, jnp.float32)
         self.alphas = jnp.asarray(alphas, jnp.float32)
         self.alphas_cumprod = jnp.asarray(np.cumprod(alphas), jnp.float32)
+        # diffusers: the "previous alpha-bar" below the last step is 1.0 when
+        # set_alpha_to_one, else alphas_cumprod[0] (SD configs use False).
+        self.final_alpha_cumprod = jnp.asarray(
+            1.0 if set_alpha_to_one else float(np.cumprod(alphas)[0]),
+            jnp.float32)
+        if ignored:
+            logging.getLogger("nesr.diffusion").debug(
+                "%s: ignoring scheduler-config keys %s",
+                type(self).__name__, sorted(ignored))
 
     def timesteps(self, num_inference_steps: int) -> np.ndarray:
         """Leading-spaced inference timesteps (diffusers 'leading' rule)."""
@@ -92,7 +110,8 @@ class DDPMScheduler(_SchedulerBase):
         current_beta = 1.0 - current_alpha
 
         x0 = self._predict_x0(sample, model_output, a_bar_t)
-        x0 = jnp.clip(x0, -1.0, 1.0)  # clip_sample=True in the SD config
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
 
         pred_prev_coeff = jnp.sqrt(a_bar_prev) * current_beta / (1.0 - a_bar_t)
         cur_coeff = jnp.sqrt(current_alpha) * (1.0 - a_bar_prev) / \
@@ -108,13 +127,18 @@ class DDPMScheduler(_SchedulerBase):
 class DDIMScheduler(_SchedulerBase):
     """Deterministic DDIM step (eta = 0, as SD pipelines default)."""
 
+    _default_clip_sample = False  # SD-era DDIM configs set clip_sample=False
+
     def step(self, model_output: jax.Array, t: jax.Array, prev_t: jax.Array,
              sample: jax.Array) -> jax.Array:
         a_bar_t = self.alphas_cumprod[t]
-        a_bar_prev = jnp.where(prev_t >= 0, self.alphas_cumprod[prev_t], 1.0)
+        a_bar_prev = jnp.where(prev_t >= 0, self.alphas_cumprod[prev_t],
+                               self.final_alpha_cumprod)
         x0 = self._predict_x0(sample, model_output, a_bar_t)
-        if self.prediction_type == "epsilon":
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        if self.prediction_type == "epsilon" and not self.clip_sample:
             eps = model_output
-        else:  # recompute eps from x0 for v-prediction
+        else:  # diffusers recomputes eps from (possibly clipped) x0
             eps = (sample - jnp.sqrt(a_bar_t) * x0) / jnp.sqrt(1.0 - a_bar_t)
         return jnp.sqrt(a_bar_prev) * x0 + jnp.sqrt(1.0 - a_bar_prev) * eps

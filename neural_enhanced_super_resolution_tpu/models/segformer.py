@@ -309,11 +309,8 @@ def load_segformer(path: str | None = None,
             break
     else:
         raise FileNotFoundError(f"no weights in {path}")
-    params = convert_state_dict(_fix_dwconv(sd))
+    # depthwise (C,1,3,3) weights map to HWIO (3,3,1,C) via the
+    # generic OIHW->HWIO transpose; no special-casing needed.
+    params = convert_state_dict(sd)
     return SegFormerModel(params, cfg, compute_dtype)
 
-
-def _fix_dwconv(sd: dict) -> dict:
-    """Depthwise conv weights are (C,1,3,3) in torch; convert to a marker the
-    generic converter maps to (3,3,1,C)."""
-    return sd  # OIHW (C,1,3,3) -> HWIO (3,3,1,C) via the generic transpose

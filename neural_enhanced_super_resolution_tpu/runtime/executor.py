@@ -47,6 +47,7 @@ class BatchExecutor:
         self.loader = loader
         self._queue: queue.Queue = queue.Queue(maxsize=self.prefetch)
         self._thread: threading.Thread | None = None
+        self._stop = threading.Event()
 
     def __enter__(self):
         return self
@@ -56,17 +57,41 @@ class BatchExecutor:
         return False
 
     def close(self):
+        """Stop the staging thread even if the consumer abandoned map_paths
+        early: signal stop, drain the bounded queue so a blocked put()
+        returns, then join."""
         if self._thread is not None:
-            self._thread.join(timeout=5)
+            self._stop.set()
+            while self._thread.is_alive():
+                try:
+                    self._queue.get_nowait()
+                except queue.Empty:
+                    self._thread.join(timeout=0.1)
+            self._thread.join()
             self._thread = None
+            self._queue = queue.Queue(maxsize=self.prefetch)
+            self._stop = threading.Event()
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _stage_worker(self, paths: list[str]):
         for path in paths:
+            if self._stop.is_set():
+                return
             try:
-                self._queue.put((path, self.loader(path)))
+                item = (path, self.loader(path))
             except Exception as exc:  # noqa: BLE001 - per-item ladder
-                self._queue.put((path, exc))
-        self._queue.put(_SENTINEL)
+                item = (path, exc)
+            if not self._put(item):
+                return
+        self._put(_SENTINEL)
 
     def map_paths(self, paths: Iterable[str],
                   prompt: str | None = None

@@ -355,3 +355,71 @@ def test_full_ensemble_esrgan_plus_diffusion(tiny_snapshot, tmp_path,
     # esrgan: 8->32 (x4); tiny-vae diffusion: 8->16; ensemble aligns to the
     # lexicographic max (32, 32) like the reference.
     assert out.shape == (32, 32, 3)
+
+
+def test_convert_renames_deprecated_attention_keys():
+    """Pre-diffusers-0.15 VAE checkpoints use query/key/value/proj_attn
+    (ADVICE round 1, medium): both the 2-D linear and 1x1-conv forms must
+    land on the to_q/to_k/to_v/to_out.0 names vae.py looks up."""
+    from neural_enhanced_super_resolution_tpu.models.diffusion.convert import (
+        convert_state_dict)
+    r = np.random.default_rng(0)
+    c = 8
+    sd = {
+        "decoder.mid_block.attentions.0.query.weight":
+            r.normal(size=(c, c)).astype(np.float32),
+        "decoder.mid_block.attentions.0.query.bias":
+            r.normal(size=(c,)).astype(np.float32),
+        "decoder.mid_block.attentions.0.key.weight":
+            r.normal(size=(c, c, 1, 1)).astype(np.float32),  # 1x1-conv form
+        "decoder.mid_block.attentions.0.value.weight":
+            r.normal(size=(c, c)).astype(np.float32),
+        "decoder.mid_block.attentions.0.proj_attn.weight":
+            r.normal(size=(c, c)).astype(np.float32),
+        "decoder.mid_block.attentions.0.proj_attn.bias":
+            r.normal(size=(c,)).astype(np.float32),
+    }
+    out = convert_state_dict(sd)
+    base = "decoder.mid_block.attentions.0"
+    for new in ("to_q.weight", "to_q.bias", "to_k.weight", "to_v.weight",
+                "to_out.0.weight", "to_out.0.bias"):
+        assert f"{base}.{new}" in out, sorted(out)
+    assert not any(".query." in k or ".key." in k or ".value." in k
+                   or ".proj_attn." in k for k in out)
+    # linear rule applied after rename: weights transposed, conv squeezed
+    np.testing.assert_allclose(
+        np.asarray(out[f"{base}.to_q.weight"]),
+        sd[f"{base}.query.weight"].T)
+    np.testing.assert_allclose(
+        np.asarray(out[f"{base}.to_k.weight"]),
+        sd[f"{base}.key.weight"][:, :, 0, 0].T)
+
+
+def test_ddim_final_alpha_cumprod_honored():
+    """set_alpha_to_one=False (the SD config) must use alphas_cumprod[0] as
+    the below-zero previous alpha-bar (ADVICE round 1)."""
+    from neural_enhanced_super_resolution_tpu.models.diffusion.scheduler import (
+        DDIMScheduler)
+    import jax.numpy as jnp
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.normal(size=(1, 4, 4, 2)).astype(np.float32))
+    eps = jnp.asarray(r.normal(size=x.shape).astype(np.float32))
+    s_one = DDIMScheduler(set_alpha_to_one=True)
+    s_sd = DDIMScheduler(set_alpha_to_one=False)
+    assert float(s_one.final_alpha_cumprod) == 1.0
+    assert float(s_sd.final_alpha_cumprod) == float(s_sd.alphas_cumprod[0])
+    # last step (prev_t < 0) must differ between the two configurations
+    t = jnp.asarray(0)
+    prev_t = jnp.asarray(-100)
+    out_one = s_one.step(eps, t, prev_t, x)
+    out_sd = s_sd.step(eps, t, prev_t, x)
+    assert not np.allclose(np.asarray(out_one), np.asarray(out_sd))
+
+
+def test_scheduler_clip_sample_config():
+    from neural_enhanced_super_resolution_tpu.models.diffusion.scheduler import (
+        DDIMScheduler, DDPMScheduler)
+    assert DDPMScheduler().clip_sample is True
+    assert DDIMScheduler().clip_sample is False  # SD DDIM configs
+    assert DDIMScheduler(clip_sample=True).clip_sample is True
+    assert DDPMScheduler(clip_sample=False).clip_sample is False

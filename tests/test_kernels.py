@@ -91,3 +91,25 @@ def test_conv3x3_v2_kernel_matches_xla(rng):
     ref = jnp.where(ref >= 0, ref, 0.2 * ref)
     out = conv3x3_lrelu_v2(x, w, b, block_rows=8)
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 1e-5
+
+
+def test_flash_attention_padded_kv_with_extreme_scores(rng):
+    """Padded KV rows must stay excluded even when every real score is very
+    negative (ADVICE round 1: a -1e4 bias was reachable by real scores)."""
+    import jax.numpy as jnp
+
+    from neural_enhanced_super_resolution_tpu.kernels.attention import (
+        flash_attention)
+
+    b, h, d = 1, 1, 64
+    sq, skv = 8, 100  # skv % block_k != 0 -> padding path
+    # Construct q/k so every real score is ~ -2000 after 1/sqrt(d) scaling:
+    # q = 16 * ones, k = -16 * ones -> q.k = -16*16*64 = -16384, scaled -2048.
+    q = jnp.full((b, h, sq, d), 16.0, jnp.float32)
+    k = jnp.full((b, h, skv, d), -16.0, jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, skv, d)).astype(np.float32))
+    out = flash_attention(q, k, v, block_q=8, block_k=64)
+    # All real scores equal -> softmax uniform over REAL keys only.
+    expected = jnp.mean(v, axis=2, keepdims=True).repeat(sq, axis=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=2e-3)

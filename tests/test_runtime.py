@@ -65,3 +65,30 @@ def test_stage_timer_accumulates():
         pass
     assert t.counts["a"] == 2 and t.counts["b"] == 1
     assert set(t.report()) == {"a", "b"}
+
+
+def test_executor_close_after_abandoned_iteration():
+    """Abandoning map_paths early must not deadlock close() or leak the
+    staging thread blocked on the bounded queue (ADVICE round 1)."""
+    import threading
+    import time
+
+    from neural_enhanced_super_resolution_tpu.runtime.executor import (
+        BatchExecutor)
+
+    class _FakePipeline:
+        def enhance_array(self, img, prompt=None):
+            return img
+
+    n_before = threading.active_count()
+    ex = BatchExecutor(_FakePipeline(), prefetch=1,
+                       loader=lambda p: np.zeros((4, 4, 3), np.uint8))
+    it = ex.map_paths([f"img{i}" for i in range(50)])
+    next(it)  # consume one, then abandon: staging thread blocks on put()
+    t0 = time.time()
+    ex.close()
+    assert time.time() - t0 < 3.0, "close() hung"
+    deadline = time.time() + 2.0
+    while threading.active_count() > n_before and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= n_before, "staging thread leaked"
