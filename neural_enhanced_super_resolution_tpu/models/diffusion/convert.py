@@ -29,6 +29,11 @@ _DEPRECATED_ATTN = {".query.": ".to_q.", ".key.": ".to_k.",
 
 
 def _canonicalize_attn(name: str, arr: np.ndarray) -> tuple[str, np.ndarray]:
+    if ".attentions." not in name:
+        # Only diffusers AttentionBlock paths (mid_block.attentions.N.*) use
+        # the deprecated names; HF-transformers models (e.g. SegFormer's
+        # attention.self.query) use query/key/value as their CURRENT names.
+        return name, arr
     for old, new in _DEPRECATED_ATTN.items():
         if old in name:
             name = name.replace(old, new)
