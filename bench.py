@@ -31,7 +31,8 @@ def main() -> int:
     import jax.numpy as jnp
 
     from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
-        RRDBNetConfig, fuse_rrdbnet_params, init_rrdbnet)
+        RRDBNetConfig, fuse_rrdbnet_params, fuse_rrdbnet_params_s2d,
+        init_rrdbnet)
     from neural_enhanced_super_resolution_tpu.parallel.tiling import (
         extract_tiles, pad_to_grid, stitch_tiles)
     from neural_enhanced_super_resolution_tpu.pipeline import _esrgan_jit
@@ -42,14 +43,17 @@ def main() -> int:
 
     H = W = int(os.environ.get("NESR_BENCH_SIZE", 2048))
     TILE = int(os.environ.get("NESR_BENCH_TILE", 256))
-    HALO = 16
+    HALO = int(os.environ.get("NESR_BENCH_HALO", 16))
     REPS = int(os.environ.get("NESR_BENCH_REPS", 3))
     BATCH = int(os.environ.get("NESR_BENCH_BATCH", 16))
 
     cfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=64,
                         num_block=23, num_grow_ch=32)
     params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
-    if os.environ.get("NESR_BENCH_FUSED", "1") == "1":
+    fused_mode = os.environ.get("NESR_BENCH_FUSED", "1")
+    if fused_mode == "s2d":
+        params = fuse_rrdbnet_params_s2d(params)
+    elif fused_mode == "1":
         params = fuse_rrdbnet_params(params)
     params = jax.device_put(params)
 

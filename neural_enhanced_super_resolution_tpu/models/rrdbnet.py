@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax import lax
 
 __all__ = ["RRDBNetConfig", "init_rrdbnet", "rrdbnet_forward",
-           "pixel_unshuffle", "fuse_rrdbnet_params"]
+           "pixel_unshuffle", "fuse_rrdbnet_params",
+           "fuse_rrdbnet_params_s2d"]
 
 
 class RRDBNetConfig:
@@ -191,8 +192,57 @@ def _rdb_fused(x: jax.Array, p: dict, gc: int, compute_dtype) -> jax.Array:
     return x + 0.2 * x5.astype(x.dtype)
 
 
+def _rdb_fused_s2d(t: jax.Array, p: dict, gc: int) -> jax.Array:
+    """_rdb_fused with the convs running in the rows-s2d Pallas kernel.
+
+    t is a rows-s2d tensor (N, A, W, 2*nf). Identical math: the layout is
+    exact (a pure row-interleave), the assembly slices just address both
+    parity halves (kernels/rdb_pallas.py). Biases/adds stay f32 like the XLA
+    path.
+    """
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
+        rows_s2d_conv3x3)
+
+    g = gc
+    nf = t.shape[-1] // 2
+
+    def sl(c, lo, hi):
+        # rows-s2d slice of x-feature range [lo, hi) of a conv output whose
+        # x-features per parity = width//2: channels oi*width + f.
+        width = c.shape[-1] // 2
+        return jnp.concatenate([c[..., lo:hi], c[..., width + lo:width + hi]],
+                               axis=-1)
+
+    def bias2(b):
+        return jnp.concatenate([b, b]).astype(jnp.float32)
+
+    b = p["b"]
+    c0 = rows_s2d_conv3x3(t, p["wk0"])
+    x1 = _lrelu(sl(c0, 0, g) + bias2(b[0:g])).astype(t.dtype)
+    c1 = rows_s2d_conv3x3(x1, p["wk1"])
+    x2 = _lrelu(sl(c0, g, 2 * g) + sl(c1, 0, g)
+                + bias2(b[g:2 * g])).astype(t.dtype)
+    c2 = rows_s2d_conv3x3(x2, p["wk2"])
+    x3 = _lrelu(sl(c0, 2 * g, 3 * g) + sl(c1, g, 2 * g) + sl(c2, 0, g)
+                + bias2(b[2 * g:3 * g])).astype(t.dtype)
+    c3 = rows_s2d_conv3x3(x3, p["wk3"])
+    x4 = _lrelu(sl(c0, 3 * g, 4 * g) + sl(c1, 2 * g, 3 * g)
+                + sl(c2, g, 2 * g) + sl(c3, 0, g)
+                + bias2(b[3 * g:4 * g])).astype(t.dtype)
+    c4 = rows_s2d_conv3x3(x4, p["wk4"])
+    x5 = (sl(c0, 4 * g, 4 * g + nf) + sl(c1, 3 * g, 3 * g + nf)
+          + sl(c2, 2 * g, 2 * g + nf) + sl(c3, g, g + nf)
+          + c4.astype(jnp.float32) + bias2(b[4 * g:]))
+    return t + (0.2 * x5).astype(t.dtype)
+
+
 def _rrdb(x: jax.Array, p: dict, compute_dtype) -> jax.Array:
-    if "w0" in p["rdb1"]:
+    if "wk0" in p["rdb1"]:
+        gc = p["rdb1"]["wk1"].shape[0] // 12  # growth from rows-s2d layout
+        out = _rdb_fused_s2d(x, p["rdb1"], gc)
+        out = _rdb_fused_s2d(out, p["rdb2"], gc)
+        out = _rdb_fused_s2d(out, p["rdb3"], gc)
+    elif "w0" in p["rdb1"]:
         gc = p["rdb1"]["w1"].shape[2]  # growth channels from fused layout
         out = _rdb_fused(x, p["rdb1"], gc, compute_dtype)
         out = _rdb_fused(out, p["rdb2"], gc, compute_dtype)
@@ -237,6 +287,36 @@ def fuse_rrdbnet_params(params: dict) -> dict:
                                                        "rdb3")}
     out = dict(params)
     out["body"] = fused_body
+    return fold_head_params(out)
+
+
+def fuse_rrdbnet_params_s2d(params: dict) -> dict:
+    """fuse_rrdbnet_params + re-lay every trunk conv for the rows-s2d Pallas
+    kernel (kernels/rdb_pallas.py): w (3,3,Cin,Cout) -> wk (12*Cin, 2*Cout).
+
+    Exact reparameterisation (pure index shuffle + structured zeros). The
+    non-trunk convs (conv_first, upsampling head) stay HWIO for XLA.
+    """
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
+        rearrange_w_rows_s2d)
+
+    fused = fuse_rrdbnet_params(params) if "w0" not in params["body"]["rdb1"] \
+        else params
+
+    def rearrange_stacked(w):
+        w = np.asarray(w)                      # (nb, 3, 3, cin, cout)
+        return jnp.asarray(np.stack([rearrange_w_rows_s2d(w[i])
+                                     for i in range(w.shape[0])]))
+
+    body = {}
+    for rdb, p in fused["body"].items():
+        body[rdb] = {"b": p["b"]}
+        for i in range(5):
+            body[rdb][f"wk{i}"] = rearrange_stacked(p[f"w{i}"])
+    out = dict(fused)
+    out["body"] = body
+    out["conv_body_wk"] = jnp.asarray(
+        rearrange_w_rows_s2d(np.asarray(fused["conv_body"]["w"])))
     return out
 
 
@@ -245,6 +325,141 @@ def _nearest_x2(x: jax.Array) -> jax.Array:
     n, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
     return x.reshape(n, 2 * h, 2 * w, c)
+
+
+# ---------------------------------------------------------------------------
+# Folded upsampling head.
+#
+# The reference head (basicsr RRDBNet.forward) runs conv3x3(nearest_x2(...))
+# twice, then conv_hr/conv_last — all 64-wide convs at 2x/4x resolution,
+# which measure only 14-17 TF/s on v5e (narrow channels + huge spatial).
+# Exact reparameterisations move every head conv into an MXU-friendly shape:
+#
+#  * conv3x3 o nearest_x2 == one 3x3 conv C -> 4D at the LOW resolution whose
+#    output channels are the 2x image in space-to-depth order (nearest
+#    duplication folds into per-subpixel sums of kernel taps): 49 TF/s.
+#  * conv_hr / conv_last run on that s2d form as a pair of 2x2 convs over
+#    4C channels (kernel index di = 2ki+pi-oi; frame shifts cancel across the
+#    pair, padding (1,1)+VALID restores SAME semantics): 49 TF/s raw.
+#
+# All folds are weight pre-sums / index shuffles in f32 — bit-exact modulo
+# bf16 rounding order. Measured +13% end-to-end (benchmarks/RESULTS.md).
+# ---------------------------------------------------------------------------
+
+
+def fold_upconv_weights(w, b) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(3,3,C,D) + (D,) -> (3,3,C,4D) + (4D,): conv3x3 o nearest_x2 fold.
+
+    Output channel (oi*2+oj)*D + f holds the 2x-res output at subpixel
+    (oi, oj); per subpixel, nearest duplication collapses kernel taps:
+    oi=0: rows {W[0] | W[1]+W[2]}, oi=1: {W[0]+W[1] | W[2]} (cols same).
+    """
+    w = np.asarray(w, np.float32)
+    b = np.asarray(b, np.float32)
+    c, d = w.shape[2], w.shape[3]
+    rowmaps = {0: {0: [0], 1: [1, 2]}, 1: {1: [0, 1], 2: [2]}}
+    out = np.zeros((3, 3, c, 4 * d), np.float32)
+    for oi in range(2):
+        for oj in range(2):
+            sub = np.zeros((3, 3, c, d), np.float32)
+            for drp, srcs_r in rowmaps[oi].items():
+                for dcp, srcs_c in rowmaps[oj].items():
+                    for dr in srcs_r:
+                        for dc in srcs_c:
+                            sub[drp, dcp] += w[dr, dc]
+            out[..., (oi * 2 + oj) * d:(oi * 2 + oj + 1) * d] = sub
+    return jnp.asarray(out), jnp.asarray(np.tile(b, 4))
+
+
+def fold_s2d2x2_weights(w, b) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(3,3,C,D) + (D,) -> (2,2,4C,4D) + (4D,): 3x3 conv on the space-to-
+    depth form (channel (pi*2+pj)*C + c). Kernel tap (ki,kj) contributes
+    w[di,dj] with di = 2ki+pi-oi (dj likewise) when within 0..2.
+
+    Applied with padding (1,1) the output gains one row/col and covers
+    x-positions -1..H (a half-pixel frame shift); a second fold applied
+    VALID consumes that frame and restores alignment (see _head_forward).
+    """
+    w = np.asarray(w, np.float32)
+    b = np.asarray(b, np.float32)
+    c, d = w.shape[2], w.shape[3]
+    out = np.zeros((2, 2, 4 * c, 4 * d), np.float32)
+    for ki in range(2):
+        for kj in range(2):
+            for pi in range(2):
+                for pj in range(2):
+                    for oi in range(2):
+                        for oj in range(2):
+                            di, dj = 2 * ki + pi - oi, 2 * kj + pj - oj
+                            if 0 <= di <= 2 and 0 <= dj <= 2:
+                                ci = (pi * 2 + pj) * c
+                                co = (oi * 2 + oj) * d
+                                out[ki, kj, ci:ci + c, co:co + d] = w[di, dj]
+    return jnp.asarray(out), jnp.asarray(np.tile(b, 4))
+
+
+def _d2s(z: jax.Array) -> jax.Array:
+    """(N,H,W,4C) subpixel-major -> (N,2H,2W,C) depth-to-space."""
+    n, h, w, c4 = z.shape
+    c = c4 // 4
+    z = z.reshape(n, h, w, 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return z.reshape(n, 2 * h, 2 * w, c)
+
+
+def fold_head_params(params: dict) -> dict:
+    """Attach the folded upsampling-head weights (see module comment)."""
+    out = dict(params)
+    out["up1_fold"] = dict(zip(("w", "b"), fold_upconv_weights(
+        params["conv_up1"]["w"], params["conv_up1"]["b"])))
+    out["up2_fold"] = dict(zip(("w", "b"), fold_upconv_weights(
+        params["conv_up2"]["w"], params["conv_up2"]["b"])))
+    out["hr_fold"] = dict(zip(("w", "b"), fold_s2d2x2_weights(
+        params["conv_hr"]["w"], params["conv_hr"]["b"])))
+    out["last_fold"] = dict(zip(("w", "b"), fold_s2d2x2_weights(
+        params["conv_last"]["w"], params["conv_last"]["b"])))
+    return out
+
+
+def _conv(x, w, b, cdt, padding, kdims=("NHWC", "HWIO", "NHWC")):
+    y = lax.conv_general_dilated(
+        x.astype(cdt), w.astype(cdt), (1, 1), padding,
+        dimension_numbers=kdims, preferred_element_type=jnp.float32)
+    return (y + b.astype(jnp.float32)).astype(cdt)
+
+
+def _frame_border_mask(h: jax.Array) -> jax.Array:
+    """Zero the half-pixel-frame border entries of an A-form conv output.
+
+    A-form rows r cover x-rows 2r-1+oi in [-1, 2H]; x-rows -1 and 2H are
+    outside the true image, where the following SAME conv must see zeros —
+    but the A conv computes extended values there. One fused multiply."""
+    n, rp1, sp1, c4 = h.shape
+    d = c4 // 4
+    rm = np.ones((rp1, 2), np.float32)
+    rm[0, 0] = 0.0
+    rm[rp1 - 1, 1] = 0.0
+    cm = np.ones((sp1, 2), np.float32)
+    cm[0, 0] = 0.0
+    cm[sp1 - 1, 1] = 0.0
+    mask = (rm[:, None, :, None] * cm[None, :, None, :]).reshape(
+        rp1, sp1, 4)
+    mask = jnp.asarray(np.repeat(mask, d, axis=-1), h.dtype)
+    return h * mask[None]
+
+
+def _head_forward(feat: jax.Array, params: dict, cdt) -> jax.Array:
+    """Folded upsampling head: feat (N,H,W,64) -> (N,4H,4W,num_out_ch)."""
+    z = _lrelu(_conv(feat, params["up1_fold"]["w"], params["up1_fold"]["b"],
+                     cdt, "SAME"))                       # (N,H,W,256) = 2x
+    y1 = _d2s(z)                                         # (N,2H,2W,64)
+    z2 = _lrelu(_conv(y1, params["up2_fold"]["w"], params["up2_fold"]["b"],
+                      cdt, "SAME"))                      # (N,2H,2W,256) = 4x s2d
+    h = _conv(z2, params["hr_fold"]["w"], params["hr_fold"]["b"],
+              cdt, ((1, 1), (1, 1)))                     # frame -1, +1 row/col
+    h = _frame_border_mask(_lrelu(h))
+    o = _conv(h, params["last_fold"]["w"], params["last_fold"]["b"],
+              cdt, "VALID")                              # frame restored
+    return _d2s(o)                                       # (N,4H,4W,out)
 
 
 @functools.partial(jax.jit,
@@ -264,13 +479,34 @@ def rrdbnet_forward(params: dict, x: jax.Array, cfg: RRDBNetConfig,
 
     feat = _conv3x3(x, params["conv_first"], cdt)
 
-    def body_step(h, block_params):
-        return _rrdb(h, block_params, cdt), None
+    s2d = "conv_body_wk" in params and feat.shape[1] % 2 == 0
+    if s2d:
+        # rows-s2d trunk: the 23-block scan and conv_body run in the Pallas
+        # patch-matmul layout (kernels/rdb_pallas.py); one transpose each way.
+        from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
+            from_rows_s2d, rows_s2d_conv3x3, to_rows_s2d)
+        feat_t = to_rows_s2d(feat.astype(cdt))
 
-    body_out, _ = lax.scan(body_step, feat, params["body"],
-                           unroll=min(unroll, cfg.num_block))
-    feat = feat + _conv3x3(body_out, params["conv_body"], cdt)
+        def body_step(h, block_params):
+            return _rrdb(h, block_params, cdt), None
 
+        body_out, _ = lax.scan(body_step, feat_t, params["body"],
+                               unroll=min(unroll, cfg.num_block))
+        body_conv = rows_s2d_conv3x3(body_out, params["conv_body_wk"])
+        body_conv = (body_conv.astype(jnp.float32)
+                     + jnp.concatenate([params["conv_body"]["b"]] * 2
+                                       ).astype(jnp.float32)).astype(cdt)
+        feat = feat + from_rows_s2d(body_conv).astype(feat.dtype)
+    else:
+        def body_step(h, block_params):
+            return _rrdb(h, block_params, cdt), None
+
+        body_out, _ = lax.scan(body_step, feat, params["body"],
+                               unroll=min(unroll, cfg.num_block))
+        feat = feat + _conv3x3(body_out, params["conv_body"], cdt)
+
+    if "up1_fold" in params:
+        return _head_forward(feat, params, cdt).astype(jnp.float32)
     feat = _lrelu(_conv3x3(_nearest_x2(feat), params["conv_up1"], cdt))
     feat = _lrelu(_conv3x3(_nearest_x2(feat), params["conv_up2"], cdt))
     out = _conv3x3(_lrelu(_conv3x3(feat, params["conv_hr"], cdt)),

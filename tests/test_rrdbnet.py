@@ -191,3 +191,68 @@ def test_save_state_dict_formats(tmp_path):
         x = jnp.zeros((1, 8, 8, 3))
         out = rrdbnet_forward(back, x, cfg, "float32")
         assert out.shape == (1, 16, 16, 3)
+
+
+def test_folded_head_exact():
+    """conv3x3-over-nearest2 folds and the s2d hr/last pair are exact
+    reparameterisations of the reference head (f32)."""
+    import jax
+
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+        RRDBNetConfig, fuse_rrdbnet_params, init_rrdbnet, rrdbnet_forward)
+
+    for scale in (4, 2):
+        cfg = RRDBNetConfig(num_in_ch=12 if scale == 4 else 3, num_out_ch=3,
+                            scale=scale, num_feat=16, num_block=1,
+                            num_grow_ch=8)
+        params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
+        r = np.random.default_rng(0)
+        x = jnp.asarray(r.uniform(0, 1, (1, 16, 16, cfg.num_in_ch))
+                        .astype(np.float32))
+        ref = rrdbnet_forward(params, x, cfg, "float32")
+        folded = rrdbnet_forward(fuse_rrdbnet_params(params), x, cfg,
+                                 "float32")
+        assert folded.shape == ref.shape
+        assert float(jnp.max(jnp.abs(folded - ref))) < 1e-4
+
+
+def test_rows_s2d_forward_matches_fused():
+    """The rows-s2d Pallas trunk (interpret mode off-TPU) matches the fused
+    XLA path to bf16 rounding."""
+    import jax
+
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+        RRDBNetConfig, fuse_rrdbnet_params, fuse_rrdbnet_params_s2d,
+        init_rrdbnet, rrdbnet_forward)
+
+    cfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=16,
+                        num_block=1, num_grow_ch=8)
+    params = init_rrdbnet(jax.random.PRNGKey(1), cfg)
+    r = np.random.default_rng(1)
+    x = jnp.asarray(r.uniform(0, 1, (1, 16, 16, 12)).astype(np.float32))
+    ref = rrdbnet_forward(fuse_rrdbnet_params(params), x, cfg, "bfloat16")
+    s2d = rrdbnet_forward(fuse_rrdbnet_params_s2d(params), x, cfg,
+                          "bfloat16")
+    assert float(jnp.max(jnp.abs(s2d - ref))) < 3e-2
+
+
+def test_rows_s2d_conv_kernel_matches_xla():
+    """kernels/rdb_pallas.rows_s2d_conv3x3 == lax.conv (interpret mode)."""
+    from jax import lax
+
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
+        from_rows_s2d, rearrange_w_rows_s2d, rows_s2d_conv3x3, to_rows_s2d)
+
+    r = np.random.default_rng(2)
+    for cin, cout in [(64, 192), (32, 160), (32, 64)]:
+        x = r.normal(0, 1, (2, 16, 32, cin)).astype(np.float32)
+        w = r.normal(0, 0.1, (3, 3, cin, cout)).astype(np.float32)
+        ref = lax.conv_general_dilated(
+            jnp.asarray(x, jnp.bfloat16), jnp.asarray(w, jnp.bfloat16),
+            (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        out = from_rows_s2d(rows_s2d_conv3x3(
+            to_rows_s2d(jnp.asarray(x)),
+            jnp.asarray(rearrange_w_rows_s2d(w))))
+        err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
+        assert err < 0.1, (cin, cout, err)
