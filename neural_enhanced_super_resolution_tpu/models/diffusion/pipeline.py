@@ -70,9 +70,10 @@ class UpscalePipeline:
                 max_length=self.text_cfg.max_position_embeddings,
                 truncation=True, return_tensors="np").input_ids
             return ids.astype(np.int32)
-        # Deterministic fallback (testing without tokenizer files): stable
-        # crc32 word hashing (builtin hash() is salted per process), bos/eos
-        # framed like CLIP.
+        # TEST-FIXTURE-ONLY fallback (snapshot without tokenizer files):
+        # stable crc32 word hashing (builtin hash() is salted per process),
+        # bos/eos framed like CLIP. Real prompts require the snapshot's
+        # vocab.json/merges.txt, which the native BPE above consumes.
         import zlib
         words = text.lower().split()
         bos, eos = 49406, 49407
@@ -196,9 +197,12 @@ def load_upscale_pipeline(path: str | None = None,
     tok_dir = os.path.join(path, "tokenizer")
     if os.path.isdir(tok_dir):
         try:
-            from transformers import CLIPTokenizer
-            tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
-        except Exception as exc:  # tokenizer optional; fallback hashes
+            # Native BPE (models/diffusion/tokenizer.py) — no transformers
+            # dependency; token ids match transformers.CLIPTokenizer.
+            from neural_enhanced_super_resolution_tpu.models.diffusion.tokenizer import (
+                ClipBpeTokenizer)
+            tokenizer = ClipBpeTokenizer.from_pretrained(tok_dir)
+        except Exception as exc:
             logger.warning("tokenizer load failed: %s", exc)
 
     model_index = {}

@@ -432,19 +432,20 @@ def _frame_border_mask(h: jax.Array) -> jax.Array:
 
     A-form rows r cover x-rows 2r-1+oi in [-1, 2H]; x-rows -1 and 2H are
     outside the true image, where the following SAME conv must see zeros —
-    but the A conv computes extended values there. One fused multiply."""
+    but the A conv computes extended values there. Masks are built from
+    iotas inside the trace (a materialised constant at these shapes would
+    embed GBs into the HLO); XLA fuses the multiply into the conv epilogue.
+    """
     n, rp1, sp1, c4 = h.shape
     d = c4 // 4
-    rm = np.ones((rp1, 2), np.float32)
-    rm[0, 0] = 0.0
-    rm[rp1 - 1, 1] = 0.0
-    cm = np.ones((sp1, 2), np.float32)
-    cm[0, 0] = 0.0
-    cm[sp1 - 1, 1] = 0.0
-    mask = (rm[:, None, :, None] * cm[None, :, None, :]).reshape(
-        rp1, sp1, 4)
-    mask = jnp.asarray(np.repeat(mask, d, axis=-1), h.dtype)
-    return h * mask[None]
+    ri = jnp.arange(rp1)
+    rm = jnp.stack([ri != 0, ri != rp1 - 1], axis=-1)        # (rp1, 2) per oi
+    ci = jnp.arange(sp1)
+    cm = jnp.stack([ci != 0, ci != sp1 - 1], axis=-1)        # (sp1, 2) per oj
+    h5 = h.reshape(n, rp1, sp1, 4, d)
+    keep = (rm[:, None, :, None] & cm[None, :, None, :]).reshape(
+        1, rp1, sp1, 4, 1)
+    return jnp.where(keep, h5, jnp.zeros((), h.dtype)).reshape(h.shape)
 
 
 def _head_forward(feat: jax.Array, params: dict, cdt) -> jax.Array:

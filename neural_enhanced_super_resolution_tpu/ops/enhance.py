@@ -34,6 +34,57 @@ from neural_enhanced_super_resolution_tpu.ops.resize import resize as _resize_fn
 __all__ = ["preprocess", "unsharp_mask", "masked_sharpen", "adaptive_sharpen",
            "ensemble"]
 
+# ---------------------------------------------------------------------------
+# Fixed-shape tiled routing for LOCAL stages.
+#
+# enhance_image's per-iteration image sizes grow geometrically
+# (/root/reference/nesr/nesr.py:516-633), so whole-image jits never see the
+# same shape twice and every iteration pays a fresh (slow, remote) compile —
+# the dominant cost of a cold full-pipeline run. Every op here except CLAHE
+# is LOCAL with a bounded radius (NL-means search 21 + patch 7 -> 13 px;
+# sigma<=3 Gaussians -> 9 px), so large images route through the SAME
+# fixed-tile machinery as ESRGAN (parallel/tiling.process_tiled, scale=1,
+# halo 16 >= radius, reflect-padded): one compiled program covers every
+# image size and iteration. Interior results are bit-identical; image-border
+# results match because both paths see the same reflect extension.
+# CLAHE is global (8x8 tile grid over the full image) and stays whole-image.
+# ---------------------------------------------------------------------------
+
+_TILED_THRESHOLD = 768  # route through fixed tiles above this edge length
+_OP_TILE = 512
+_OP_HALO = 16
+
+
+def _tiled_unit_op(fn, img, *extra_channels):
+    """Run a local (H, W, C)->(H, W, C) op via the fixed-tile path.
+
+    extra_channels: additional (H, W) planes (e.g. a segmentation mask)
+    stacked onto the tile so the op sees matching tile crops.
+    """
+    from neural_enhanced_super_resolution_tpu.parallel.tiling import (
+        process_tiled)
+
+    img = jnp.asarray(img)
+    if max(int(img.shape[0]), int(img.shape[1])) <= _TILED_THRESHOLD:
+        return fn(img, *extra_channels) if not extra_channels else \
+            fn(img, extra_channels[0])
+    c = img.shape[-1]
+    packed = img
+    if extra_channels:
+        packed = jnp.concatenate(
+            [img] + [e[:, :, None].astype(img.dtype)
+                     for e in extra_channels], axis=-1)
+
+    def tile_fn(tiles):  # (B, T, T, C+extra) -> (B, T, T, C)
+        def one(t):
+            if extra_channels:
+                return fn(t[..., :c], t[..., c])
+            return fn(t)
+        return jax.vmap(one)(tiles)
+
+    return process_tiled(tile_fn, packed, tile_size=_OP_TILE, halo=_OP_HALO,
+                         scale=1)[..., :c]
+
 
 @jax.jit
 def _clahe_contrast(img) -> jax.Array:
@@ -54,8 +105,9 @@ def preprocess(img, denoise_level: float = 0.5) -> jax.Array:
     img = jnp.asarray(img)
     if denoise_level > 0:
         strength = float(denoise_level) * 10.0
-        img = _nl_means_colored(img, h=strength, h_color=strength,
-                                        template=7, search=21)
+        img = _tiled_unit_op(
+            functools.partial(_nl_means_colored, h=strength,
+                              h_color=strength, template=7, search=21), img)
     return _clahe_contrast(img)
 
 
@@ -67,25 +119,24 @@ def unsharp_mask(img) -> jax.Array:
 
 
 @jax.jit
-def masked_sharpen(img, mask) -> jax.Array:
-    """Segmentation-guided sharpening (nesr.py:731-747).
-
-    ``mask`` is a uint8 (H, W) object mask; it is dilated 3x3 once and the
-    unsharp-masked image replaces the original where mask == 1.
-    """
+def _masked_sharpen_impl(img, mask) -> jax.Array:
     mask = _dilate(mask, 3, 1)
     sharpened = unsharp_mask(img)
     return jnp.where(mask[:, :, None] == 1, sharpened, img)
 
 
-@jax.jit
-def adaptive_sharpen(img) -> jax.Array:
-    """Detail-adaptive unsharp mask (_postprocess_image, nesr.py:1056-1084).
+def masked_sharpen(img, mask) -> jax.Array:
+    """Segmentation-guided sharpening (nesr.py:731-747).
 
-    detail = |gray - blur(gray, sigma=2)| thresholded at 10 -> binary alpha;
-    output = img*(1-alpha) + unsharp(img)*alpha. Since alpha is binary, the
-    blend is an exact select.
-    """
+    ``mask`` is a uint8 (H, W) object mask; it is dilated 3x3 once and the
+    unsharp-masked image replaces the original where mask == 1. Large images
+    run tiled (fixed-shape compile; see module comment)."""
+    return _tiled_unit_op(_masked_sharpen_impl, jnp.asarray(img),
+                          jnp.asarray(mask))
+
+
+@jax.jit
+def _adaptive_sharpen_impl(img) -> jax.Array:
     gray = _rgb_to_gray(img)
     low = _gaussian_blur(gray, (0, 0), 2.0)
     variance = _subtract(gray, low)           # saturating: negatives clamp to 0
@@ -93,6 +144,16 @@ def adaptive_sharpen(img) -> jax.Array:
     alpha = _threshold_binary(variance, 10.0, 255.0)
     sharpened = unsharp_mask(img)
     return jnp.where(alpha[:, :, None] > 0, sharpened, img)
+
+
+def adaptive_sharpen(img) -> jax.Array:
+    """Detail-adaptive unsharp mask (_postprocess_image, nesr.py:1056-1084).
+
+    detail = |gray - blur(gray, sigma=2)| thresholded at 10 -> binary alpha;
+    output = img*(1-alpha) + unsharp(img)*alpha. Since alpha is binary, the
+    blend is an exact select. Large images run tiled (fixed-shape compile;
+    see module comment)."""
+    return _tiled_unit_op(_adaptive_sharpen_impl, jnp.asarray(img))
 
 
 def ensemble(images) -> jax.Array:

@@ -423,3 +423,78 @@ def test_scheduler_clip_sample_config():
     assert DDIMScheduler().clip_sample is False  # SD DDIM configs
     assert DDIMScheduler(clip_sample=True).clip_sample is True
     assert DDPMScheduler(clip_sample=False).clip_sample is False
+
+
+def _toy_clip_vocab(tmp_path):
+    """A small-but-real CLIP-style vocab/merges pair on disk, loadable by
+    BOTH transformers.CLIPTokenizer and our native BPE."""
+    import json
+
+    chars = [chr(c) for c in range(ord("a"), ord("z") + 1)] + \
+            [str(d) for d in range(10)] + list(".,!?'-&@#")
+    vocab = {}
+    for ch in chars:
+        vocab[ch] = len(vocab)
+        vocab[ch + "</w>"] = len(vocab)
+    merges = []
+    for pair in [("t", "h"), ("th", "e</w>"), ("i", "n"), ("in", "g</w>"),
+                 ("a", "n"), ("an", "d</w>"), ("e", "r</w>"), ("o", "n"),
+                 ("c", "a"), ("ca", "t</w>"), ("'", "s</w>"), ("1", "9"),
+                 ("o", "o"), ("oo", "l</w>"), ("e", "n"), ("en", "h"),
+                 ("enh", "an"), ("r", "e"), ("s", "t"), ("st", "o")]:
+        merges.append(pair)
+        vocab["".join(pair)] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    d = tmp_path / "tokenizer"
+    d.mkdir()
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text(
+        "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges))
+    return str(d)
+
+
+def test_native_clip_bpe_matches_transformers(tmp_path):
+    """Token ids from the native BPE == transformers.CLIPTokenizer on a
+    mixed-case/punctuation corpus over the same vocab files (VERDICT #5)."""
+    transformers = pytest.importorskip("transformers")
+
+    from neural_enhanced_super_resolution_tpu.models.diffusion.tokenizer import (
+        ClipBpeTokenizer)
+
+    tok_dir = _toy_clip_vocab(tmp_path)
+    ours = ClipBpeTokenizer.from_pretrained(tok_dir)
+    theirs = transformers.CLIPTokenizer.from_pretrained(tok_dir)
+    corpus = [
+        "The cat's enhancing!",
+        "  COOL, 1999 things -- and then...  ",
+        "store@19 #cats, it's ok?!",
+        "a",
+        "",
+        "the THE tHe",
+    ]
+    for text in corpus:
+        a = ours(text, padding="max_length", max_length=32,
+                 truncation=True, return_tensors="np").input_ids
+        b = theirs(text, padding="max_length", max_length=32,
+                   truncation=True, return_tensors="np",
+                   pad_to_multiple_of=None).input_ids
+        assert a.tolist() == b.tolist(), (text, a.tolist(), b.tolist())
+
+
+def test_native_clip_bpe_loads_in_pipeline(tmp_path, tiny_snapshot):
+    """load_pipeline picks up the native tokenizer when files exist."""
+    import shutil
+
+    from neural_enhanced_super_resolution_tpu.models.diffusion.pipeline import (
+        load_upscale_pipeline)
+    from neural_enhanced_super_resolution_tpu.models.diffusion.tokenizer import (
+        ClipBpeTokenizer)
+
+    tok_dir = _toy_clip_vocab(tmp_path)
+    shutil.copytree(tok_dir, os.path.join(tiny_snapshot, "tokenizer"),
+                    dirs_exist_ok=True)
+    pipe = load_upscale_pipeline(tiny_snapshot, compute_dtype="float32")
+    assert isinstance(pipe.tokenizer, ClipBpeTokenizer)
+    ids = pipe._tokenize("a cat")
+    assert ids.shape[1] == pipe.text_cfg.max_position_embeddings
