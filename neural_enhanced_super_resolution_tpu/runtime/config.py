@@ -44,10 +44,15 @@ def default_config() -> dict[str, Any]:
         "memory_efficient": False,
         "device_specific": {
             "tpu": {
-                # Tile above 4 MP: the fixed-shape tile batch reuses one
-                # compiled program (vs a fresh whole-image compile per size)
-                # and bounds activation HBM for the 12ch/scale-4 model.
-                "max_megapixels": 4,
+                # Tile above 8 MP (cuda-reference-like semantics: the tiled canvas is
+                # scaled by upscale_factor, untiled keeps the raw model scale). Below
+                # the threshold, _esrgan_whole still COMPUTES via fixed tiles (one
+                # compiled program for all sizes) without the canvas shrink.
+                "max_megapixels": 8,
+                # 256-px tiles at batch 16 are the measured v5e conv sweet
+                # spot (benchmarks/RESULTS.md: tile 512 runs 30% slower and
+                # its batch-16 program over-allocates HBM).
+                "max_tile_size": 256,
                 "half_precision": True,    # bf16 on TPU
             },
             "cpu": {
