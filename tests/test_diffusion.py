@@ -498,3 +498,183 @@ def test_native_clip_bpe_loads_in_pipeline(tmp_path, tiny_snapshot):
     assert isinstance(pipe.tokenizer, ClipBpeTokenizer)
     ids = pipe._tokenize("a cat")
     assert ids.shape[1] == pipe.text_cfg.max_position_embeddings
+
+
+# ------------------------------------------------ full-model torch parity ---
+
+def _twin_models(seed=0):
+    """Tiny UNet+VAE: one diffusers-format torch state dict each, plus the
+    converted JAX params (convert_state_dict) and configs."""
+    import torch as _torch
+
+    from neural_enhanced_super_resolution_tpu.models.diffusion.convert import (
+        convert_state_dict)
+    from neural_enhanced_super_resolution_tpu.models.diffusion.specs import (
+        unet_param_shapes, vae_param_shapes)
+    from neural_enhanced_super_resolution_tpu.models.diffusion.unet import (
+        UNetConfig)
+    from neural_enhanced_super_resolution_tpu.models.diffusion.vae import (
+        VAEConfig)
+
+    ucfg = UNetConfig(sample_size=8, in_channels=7, out_channels=4,
+                      block_out_channels=(8, 16), layers_per_block=1,
+                      down_block_types=("DownBlock2D",
+                                        "CrossAttnDownBlock2D"),
+                      up_block_types=("CrossAttnUpBlock2D", "UpBlock2D"),
+                      cross_attention_dim=16, attention_head_dim=2,
+                      num_class_embeds=25, norm_num_groups=4)
+    vcfg = VAEConfig(block_out_channels=(8, 16), layers_per_block=1,
+                     norm_num_groups=4, scaling_factor=0.08333)
+    rng = np.random.default_rng(seed)
+
+    def torch_sd(spec):
+        sd = {}
+        for name, shape in spec.items():
+            arr = rng.normal(0, 0.2, shape).astype(np.float32)
+            # our spec layouts -> torch layouts
+            if name.endswith(".weight") and len(shape) == 4:
+                arr = arr.transpose(3, 2, 0, 1)        # HWIO -> OIHW
+            elif (name.endswith(".weight") and len(shape) == 2
+                  and "embedding.weight" not in name
+                  and not name.startswith("class_embedding")):
+                arr = arr.T                            # (in,out) -> (out,in)
+            sd[name] = _torch.from_numpy(np.ascontiguousarray(arr))
+        return sd
+
+    unet_sd = torch_sd(unet_param_shapes(ucfg))
+    vae_sd = torch_sd(vae_param_shapes(vcfg, decoder_only=True))
+    unet_params = convert_state_dict(
+        {k: v.numpy() for k, v in unet_sd.items()})
+    vae_params = convert_state_dict(
+        {k: v.numpy() for k, v in vae_sd.items()})
+    return ucfg, vcfg, unet_sd, vae_sd, unet_params, vae_params
+
+
+def test_unet_full_forward_matches_torch_twin():
+    """Whole-UNet forward parity vs an independent torch implementation fed
+    the same diffusers-format state dict (VERDICT #4)."""
+    import torch as _torch
+
+    from tests.torch_twin import torch_unet_forward
+    from neural_enhanced_super_resolution_tpu.models.diffusion.unet import (
+        unet_forward)
+
+    ucfg, _, unet_sd, _, unet_params, _ = _twin_models()
+    rng = np.random.default_rng(3)
+    sample = rng.normal(0, 1, (2, 8, 8, 7)).astype(np.float32)
+    ctx = rng.normal(0, 1, (2, 5, 16)).astype(np.float32)
+    labels = np.asarray([3, 7])
+    ours = np.asarray(unet_forward(
+        unet_params, jnp.asarray(sample), jnp.asarray(40),
+        jnp.asarray(ctx), jnp.asarray(labels), ucfg, "float32"))
+    with _torch.no_grad():
+        ref = torch_unet_forward(
+            unet_sd, _torch.from_numpy(sample.transpose(0, 3, 1, 2)),
+            40, _torch.from_numpy(ctx), _torch.from_numpy(labels), ucfg)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    assert np.abs(ours - ref).max() < 2e-4, np.abs(ours - ref).max()
+
+
+def test_vae_decode_matches_torch_twin():
+    import torch as _torch
+
+    from tests.torch_twin import torch_vae_decode
+    from neural_enhanced_super_resolution_tpu.models.diffusion.vae import (
+        vae_decode)
+
+    _, vcfg, _, vae_sd, _, vae_params = _twin_models()
+    rng = np.random.default_rng(4)
+    lat = rng.normal(0, 1, (1, 6, 6, 4)).astype(np.float32)
+    ours = np.asarray(vae_decode(vae_params, jnp.asarray(lat), vcfg,
+                                 "float32"))
+    with _torch.no_grad():
+        ref = torch_vae_decode(
+            vae_sd, _torch.from_numpy(lat.transpose(0, 3, 1, 2)), vcfg)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    assert np.abs(ours - ref).max() < 2e-4, np.abs(ours - ref).max()
+
+
+@pytest.mark.parametrize("kind", ["ddim", "ddpm"])
+@pytest.mark.parametrize("pred", ["epsilon", "v_prediction"])
+def test_per_step_latent_traces(kind, pred):
+    """10-step CFG denoise loop: per-step latents match the torch twin with
+    independently implemented scheduler math (SURVEY §7 'Diffusion numerical
+    parity'; VERDICT #4). Same fixed noises on both sides."""
+    import torch as _torch
+
+    from tests.torch_twin import TorchScheduler, torch_unet_forward
+    from neural_enhanced_super_resolution_tpu.models.diffusion.scheduler import (
+        DDIMScheduler, DDPMScheduler)
+    from neural_enhanced_super_resolution_tpu.models.diffusion.unet import (
+        unet_forward)
+
+    ucfg, _, unet_sd, _, unet_params, _ = _twin_models()
+    rng = np.random.default_rng(5)
+    steps = 10
+    guidance = 7.5
+    noise_level = 20
+    h = w = 8
+
+    img = rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32)
+    img_noise = rng.normal(0, 1, img.shape).astype(np.float32)
+    lat0 = rng.normal(0, 1, (1, h, w, 4)).astype(np.float32)
+    step_noise = rng.normal(0, 1, (steps, 1, h, w, 4)).astype(np.float32)
+    ctx = rng.normal(0, 1, (2, 5, 16)).astype(np.float32)  # [uncond, cond]
+
+    # ours
+    sk = dict(prediction_type=pred, set_alpha_to_one=False)
+    ours_sched = (DDIMScheduler(**sk) if kind == "ddim"
+                  else DDPMScheduler(**sk))
+    low = DDPMScheduler()
+    noisy = np.asarray(low.add_noise(jnp.asarray(img),
+                                     jnp.asarray(img_noise),
+                                     jnp.asarray(noise_level)))
+    ts = ours_sched.timesteps(steps)
+
+    # torch twin
+    twin = TorchScheduler(kind, prediction_type=pred, set_alpha_to_one=False)
+    twin_low = TorchScheduler("ddpm")
+    noisy_t = twin_low.add_noise(img, img_noise, noise_level)
+    np.testing.assert_allclose(noisy, noisy_t, atol=1e-5)
+
+    lat_ours = jnp.asarray(lat0)
+    lat_twin = lat0.copy()
+    img2 = np.concatenate([noisy, noisy], axis=0)
+    nl2 = np.asarray([noise_level, noise_level])
+    for i, t in enumerate(ts):
+        prev_t = int(ts[i + 1]) if i + 1 < steps else -1
+        # ours
+        lat2 = jnp.concatenate([lat_ours, lat_ours], axis=0)
+        unet_in = jnp.concatenate([lat2, jnp.asarray(img2)], axis=-1)
+        out = unet_forward(unet_params, unet_in, jnp.asarray(int(t)),
+                           jnp.asarray(ctx), jnp.asarray(nl2), ucfg,
+                           "float32")
+        u, c = np.split(np.asarray(out), 2, axis=0)
+        guided = u + guidance * (c - u)
+        if kind == "ddpm":
+            nz = step_noise[i] if t > 0 else np.zeros_like(step_noise[i])
+            lat_ours = ours_sched.step(jnp.asarray(guided), jnp.asarray(int(t)),
+                                       jnp.asarray(prev_t), lat_ours,
+                                       jnp.asarray(nz))
+        else:
+            lat_ours = ours_sched.step(jnp.asarray(guided),
+                                       jnp.asarray(int(t)),
+                                       jnp.asarray(prev_t), lat_ours)
+
+        # twin
+        with _torch.no_grad():
+            lat2_t = np.concatenate([lat_twin, lat_twin], axis=0)
+            unet_in_t = np.concatenate([lat2_t, img2], axis=-1)
+            out_t = torch_unet_forward(
+                unet_sd,
+                _torch.from_numpy(unet_in_t.transpose(0, 3, 1, 2)),
+                int(t), _torch.from_numpy(ctx), _torch.from_numpy(nl2), ucfg)
+        out_t = out_t.numpy().transpose(0, 2, 3, 1)
+        ut, ct = np.split(out_t, 2, axis=0)
+        guided_t = ut + guidance * (ct - ut)
+        lat_twin = twin.step(guided_t, int(t), prev_t, lat_twin,
+                             noise=step_noise[i])
+
+        err = np.abs(np.asarray(lat_ours) - lat_twin).max()
+        scale = max(np.abs(lat_twin).max(), 1.0)
+        assert err / scale < 5e-4, (kind, pred, i, err, scale)
