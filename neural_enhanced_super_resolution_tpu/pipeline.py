@@ -379,6 +379,13 @@ class SuperResolutionPipeline:
 
     # Ensemble / postprocess ------------------------------------------------
 
+    def _overlap_active(self) -> bool:
+        """Stage overlap applies when both model branches will run: ESRGAN's
+        dispatch is left in flight while diffusion executes."""
+        return (self.config.get("stage_overlap", True)
+                and self.config["use_diffusion"]
+                and "diffusion" in self.models)
+
     def _ensemble_results(self, upscaled_images):
         return ensemble(upscaled_images)
 
@@ -435,12 +442,18 @@ class SuperResolutionPipeline:
                 self._callback("ESRGAN", iteration, iterations,
                                "Applying Real-ESRGAN upscaling")
                 with self.timer.stage("esrgan"):
-                    result = jax.block_until_ready(
-                        self._apply_esrgan(current))
+                    result = self._apply_esrgan(current)
+                    if not self._overlap_active():
+                        # sequential mode: account time per stage exactly
+                        result = jax.block_until_ready(result)
                 if result is not None:
                     upscaled.append(result)
 
             if self.config["use_diffusion"] and "diffusion" in self.models:
+                # Stage-level PP (SURVEY §2c): the ESRGAN dispatch above is
+                # still in flight — with multiple chips the tile batch runs
+                # on its device subset while the denoise loop executes here
+                # (parallel/overlap.py); blocking happens at the ensemble.
                 logger.info("Applying diffusion-based upscaling...")
                 self._callback("Diffusion", iteration, iterations,
                                "Applying diffusion-based upscaling with "

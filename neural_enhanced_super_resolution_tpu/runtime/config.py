@@ -67,6 +67,10 @@ def default_config() -> dict[str, Any]:
         # --- TPU-native extras ---
         "precision": None,            # None -> per-device default
         "parity_tiling": False,
+        # Stage-level PP: leave ESRGAN's dispatch in flight while the
+        # diffusion branch runs (disjoint device subsets on a mesh —
+        # parallel/overlap.py; SURVEY.md §2c PP row).
+        "stage_overlap": True,
         # 16 tiles per device batch: the measured v5e sweet spot, and an HBM
         # guard (None = all tiles at once OOMs on 4K+ images).
         "tile_batch": 16,
