@@ -112,19 +112,30 @@ if HAS_QT:  # pragma: no cover - Qt widgets need a display to exercise
                     f.write(self.view.toPlainText())
 
     class ImageViewer(QScrollArea):
-        """Zoom 10-400%, fit-to-view, three comparison modes
-        (app.py:165-535)."""
+        """Zoom 10-400%, fit-to-view, draggable split divider, four view
+        modes (reference ImageViewer, app.py:165-535). All state math lives
+        in gui/controller.py (compose_view / fit_zoom / drag_split_position)
+        so it is tested headlessly; this class is the Qt shell."""
 
         def __init__(self):
             super().__init__()
+            from neural_enhanced_super_resolution_tpu.gui.controller import (
+                compose_view, drag_split_position, fit_zoom)
+            self._compose_view = compose_view
+            self._fit_zoom = fit_zoom
+            self._drag_split = drag_split_position
             self.label = QLabel()
             self.label.setAlignment(Qt.AlignCenter)
             self.setWidget(self.label)
             self.setWidgetResizable(True)
             self.zoom = 1.0
+            self.fit = False
             self.mode = "side-by-side"
+            self.split_pos = 0.5
             self.before: np.ndarray | None = None
             self.after: np.ndarray | None = None
+            self.label.setMouseTracking(False)
+            self.label.installEventFilter(self)
 
         def set_images(self, before=None, after=None):
             if before is not None:
@@ -134,33 +145,50 @@ if HAS_QT:  # pragma: no cover - Qt widgets need a display to exercise
             self._render()
 
         def set_zoom(self, percent: int):
+            self.fit = False
             self.zoom = min(4.0, max(0.1, percent / 100.0))
+            self._render()
+
+        def fit_to_view(self):
+            """Scale so the composed image fits the viewport."""
+            self.fit = True
             self._render()
 
         def set_mode(self, mode: str):
             self.mode = mode
             self._render()
 
-        def _compose(self) -> np.ndarray | None:
-            from neural_enhanced_super_resolution_tpu.utils.image_utils import (
-                create_comparison_image)
-            if self.before is None and self.after is None:
-                return None
-            if self.after is None or self.mode == "before":
-                return self.before
-            if self.before is None or self.mode == "after":
-                return self.after
-            if self.mode == "split":
-                return create_comparison_image(self.before, self.after,
-                                               "vertical")
-            return create_comparison_image(self.before, self.after,
-                                           "horizontal")
+        def eventFilter(self, obj, event):
+            # drag the split divider with the mouse (split mode only)
+            from PyQt5.QtCore import QEvent
+            if (obj is self.label and self.mode == "split"
+                    and event.type() in (QEvent.MouseButtonPress,
+                                         QEvent.MouseMove)
+                    and getattr(event, "buttons", lambda: 0)() & Qt.LeftButton):
+                pm = self.label.pixmap()
+                if pm is not None and pm.width() > 1:
+                    off = max(0, (self.label.width() - pm.width()) // 2)
+                    self.split_pos = self._drag_split(
+                        int(event.pos().x()) - off, pm.width())
+                    self._render()
+                    return True
+            return super().eventFilter(obj, event)
+
+        def resizeEvent(self, event):
+            super().resizeEvent(event)
+            if self.fit:
+                self._render()
 
         def _render(self):
-            img = self._compose()
+            img = self._compose_view(self.before, self.after, self.mode,
+                                     self.split_pos)
             if img is None:
                 return
-            pm = _np_to_pixmap(img)
+            if self.fit:
+                vp = self.viewport()
+                self.zoom = self._fit_zoom(img.shape[:2],
+                                           (vp.height(), vp.width()))
+            pm = _np_to_pixmap(np.ascontiguousarray(img))
             if self.zoom != 1.0:
                 pm = pm.scaled(int(pm.width() * self.zoom),
                                int(pm.height() * self.zoom),
@@ -214,6 +242,8 @@ if HAS_QT:  # pragma: no cover - Qt widgets need a display to exercise
             zoom.setRange(10, 400)
             zoom.setValue(100)
             zoom.valueChanged.connect(self.viewer.set_zoom)
+            fit_btn = QPushButton("Fit")
+            fit_btn.clicked.connect(self.viewer.fit_to_view)
             mode = QComboBox()
             mode.addItems(["side-by-side", "split", "before", "after"])
             mode.currentTextChanged.connect(self.viewer.set_mode)
@@ -228,6 +258,7 @@ if HAS_QT:  # pragma: no cover - Qt widgets need a display to exercise
             ctl = QHBoxLayout()
             ctl.addWidget(QLabel("Zoom"))
             ctl.addWidget(zoom)
+            ctl.addWidget(fit_btn)
             ctl.addWidget(QLabel("View"))
             ctl.addWidget(mode)
             left.addLayout(ctl)
@@ -446,12 +477,34 @@ else:  # no Qt installed
                               "(python -m nesr --cli) or install PyQt5")
 
 
+def apply_theme(app) -> str:
+    """Modern-theme ladder (reference launch_gui, main.py:190-205): qtmodern
+    dark if installed, else Qt's Fusion style, else the platform default.
+    Returns the applied theme name (for tests/logging)."""
+    try:  # pragma: no cover - qtmodern not in the base image
+        import qtmodern.styles
+        qtmodern.styles.dark(app)
+        return "qtmodern-dark"
+    except Exception:
+        pass
+    try:
+        from PyQt5.QtWidgets import QStyleFactory
+        if "Fusion" in QStyleFactory.keys():
+            app.setStyle("Fusion")
+            return "fusion"
+    except Exception:  # pragma: no cover
+        pass
+    return "default"
+
+
 def run_gui() -> int:
     """Launch the Qt application (reference launch_gui, main.py:164-214)."""
     if not HAS_QT:
         raise ImportError("PyQt5 is not installed")
     import sys  # pragma: no cover
     app = QApplication(sys.argv)  # pragma: no cover
+    theme = apply_theme(app)  # pragma: no cover
+    logging.getLogger("nesr.gui").info("GUI theme: %s", theme)  # pragma: no cover
     win = NESRApplication()  # pragma: no cover
     win.show()  # pragma: no cover
     return app.exec_()  # pragma: no cover

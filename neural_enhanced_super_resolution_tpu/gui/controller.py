@@ -263,3 +263,73 @@ def check_model_status() -> dict:
     missing_required = [k for k, v in info.items()
                         if v["required"] and not existing.get(k)]
     return {"info": info, "missing_required": missing_required}
+
+
+# ----------------------------------------------------------- view logic ----
+# Headless image-viewer state (reference ImageViewer, gui/app.py:165-535):
+# zoom/fit math and view composition live here so they are testable without
+# Qt; gui/app.py's ImageViewer is a thin shell over these.
+
+VIEW_MODES = ("side-by-side", "split", "before", "after")
+ZOOM_MIN, ZOOM_MAX = 0.1, 4.0  # reference: 10-400%
+
+
+def fit_zoom(image_hw: tuple, viewport_hw: tuple) -> float:
+    """Zoom factor that fits the image inside the viewport, clamped to the
+    reference's 10-400% range (fit-to-view, reference app.py:262-276)."""
+    ih, iw = image_hw
+    vh, vw = viewport_hw
+    if ih <= 0 or iw <= 0:
+        return 1.0
+    z = min(vh / ih, vw / iw)
+    return float(min(ZOOM_MAX, max(ZOOM_MIN, z)))
+
+
+def compose_view(before, after, mode: str = "side-by-side",
+                 split_pos: float = 0.5):
+    """Compose the displayed array for a view mode.
+
+    split: before pixels left of the (draggable) divider, after pixels right
+    of it, 3-px red divider at ``split_pos`` (0..1) — the reference's
+    interactive split view (app.py:338-430). after is resized to before's
+    geometry first so columns align.
+    """
+    import numpy as np
+
+    from neural_enhanced_super_resolution_tpu.utils.image_utils import (
+        create_comparison_image)
+
+    if before is None and after is None:
+        return None
+    if after is None or mode == "before":
+        return np.asarray(before)
+    if before is None or mode == "after":
+        return np.asarray(after)
+    if mode == "split":
+        before = np.asarray(before)
+        after = np.asarray(after)
+        h, w = before.shape[:2]
+        if after.shape[:2] != (h, w):
+            after = _resize_like(after, (w, h))
+        split_pos = min(1.0, max(0.0, float(split_pos)))
+        x = int(round(split_pos * (w - 1)))
+        out = after.copy()
+        out[:, :x] = before[:, :x]
+        lo, hi = max(0, x - 1), min(w, x + 2)
+        out[:, lo:hi] = (255, 0, 0)
+        return out
+    return create_comparison_image(np.asarray(before), np.asarray(after),
+                                   "horizontal")
+
+
+def _resize_like(img, dsize):
+    from neural_enhanced_super_resolution_tpu.ops.resize import resize
+    import numpy as np
+    return np.asarray(resize(img, dsize=dsize, interpolation="lanczos4"))
+
+
+def drag_split_position(x_px: int, width_px: int) -> float:
+    """Mouse x within the view -> divider position (0..1)."""
+    if width_px <= 1:
+        return 0.5
+    return min(1.0, max(0.0, x_px / (width_px - 1)))

@@ -112,3 +112,73 @@ def test_gui_import_without_qt():
     if not HAS_QT:
         with pytest.raises(ImportError):
             NESRApplication()
+
+
+def test_fit_zoom_math():
+    from neural_enhanced_super_resolution_tpu.gui.controller import fit_zoom
+
+    assert fit_zoom((100, 200), (50, 200)) == 0.5      # height-bound
+    assert fit_zoom((100, 100), (1000, 50)) == 0.5     # width-bound
+    assert fit_zoom((10, 10), (10000, 10000)) == 4.0   # clamp to 400%
+    assert fit_zoom((10000, 10000), (10, 10)) == 0.1   # clamp to 10%
+    assert fit_zoom((0, 10), (10, 10)) == 1.0          # degenerate
+
+
+def test_compose_view_modes():
+    from neural_enhanced_super_resolution_tpu.gui.controller import (
+        VIEW_MODES, compose_view)
+
+    before = np.full((20, 30, 3), 10, np.uint8)
+    after = np.full((20, 30, 3), 200, np.uint8)
+    assert compose_view(None, None) is None
+    np.testing.assert_array_equal(compose_view(before, None), before)
+    np.testing.assert_array_equal(compose_view(before, after, "before"),
+                                  before)
+    np.testing.assert_array_equal(compose_view(before, after, "after"),
+                                  after)
+    sbs = compose_view(before, after, "side-by-side")
+    assert sbs.shape[1] > 30  # widened comparison canvas
+    assert set(VIEW_MODES) == {"side-by-side", "split", "before", "after"}
+
+
+def test_compose_view_split_divider():
+    from neural_enhanced_super_resolution_tpu.gui.controller import (
+        compose_view, drag_split_position)
+
+    before = np.full((10, 100, 3), 10, np.uint8)
+    after = np.full((10, 100, 3), 200, np.uint8)
+    out = compose_view(before, after, "split", split_pos=0.3)
+    assert out.shape == (10, 100, 3)
+    x = int(round(0.3 * 99))
+    assert (out[:, :x - 1] == 10).all()           # before, left of divider
+    assert (out[:, x + 2:] == 200).all()          # after, right of divider
+    np.testing.assert_array_equal(out[0, x], (255, 0, 0))  # red divider
+
+    # dragging maps pixels to positions, clamped
+    assert drag_split_position(0, 100) == 0.0
+    assert drag_split_position(99, 100) == 1.0
+    assert abs(drag_split_position(50, 101) - 0.5) < 1e-9
+    assert drag_split_position(-5, 100) == 0.0
+
+
+def test_compose_view_split_resizes_mismatched():
+    from neural_enhanced_super_resolution_tpu.gui.controller import (
+        compose_view)
+
+    before = np.full((10, 20, 3), 10, np.uint8)
+    after = np.full((40, 80, 3), 200, np.uint8)   # 4x size
+    out = compose_view(before, after, "split", split_pos=0.5)
+    assert out.shape == (10, 20, 3)
+
+
+def test_theme_fallback_ladder():
+    """apply_theme degrades qtmodern -> Fusion -> default without raising
+    (reference launch_gui's qtmodern fallback, main.py:190-205)."""
+    from neural_enhanced_super_resolution_tpu.gui.app import apply_theme
+
+    class FakeApp:
+        def setStyle(self, name):
+            self.style = name
+
+    theme = apply_theme(FakeApp())
+    assert theme in ("qtmodern-dark", "fusion", "default")
