@@ -256,3 +256,59 @@ def test_cli_batch_mode_over_directory(tmp_path, test_image, monkeypatch):
     assert run_cli_mode(args) == 0
     assert os.path.exists(str(tmp_path / "out" / "one_enhanced.png"))
     assert os.path.exists(str(tmp_path / "out" / "two_enhanced.jpg"))
+
+
+def test_compare_reference_harness_roundtrip(tmp_path, test_image,
+                                             monkeypatch):
+    """tools/compare_reference record->check machinery end to end, with our
+    own forward standing in for the unavailable PyTorch reference stack
+    (VERDICT #10; the real stack plugs into run_reference unchanged)."""
+    import sys
+
+    import jax
+    import torch
+
+    import tools.compare_reference as cr
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+        RRDBNetConfig, init_rrdbnet)
+
+    cfg = RRDBNetConfig(12, 3, 4, 8, 2, 4)
+    params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
+    sd = {}
+    for name in ("conv_first", "conv_body", "conv_up1", "conv_up2",
+                 "conv_hr", "conv_last"):
+        sd[f"{name}.weight"] = torch.from_numpy(
+            np.asarray(params[name]["w"]).transpose(3, 2, 0, 1).copy())
+        sd[f"{name}.bias"] = torch.from_numpy(
+            np.asarray(params[name]["b"]).copy())
+    for i in range(cfg.num_block):
+        for rdb in ("rdb1", "rdb2", "rdb3"):
+            for ci in range(1, 6):
+                p = params["body"][rdb][f"conv{ci}"]
+                sd[f"body.{i}.{rdb}.conv{ci}.weight"] = torch.from_numpy(
+                    np.asarray(p["w"][i]).transpose(3, 2, 0, 1).copy())
+                sd[f"body.{i}.{rdb}.conv{ci}.bias"] = torch.from_numpy(
+                    np.asarray(p["b"][i]).copy())
+    ckpt = tmp_path / "tiny12.pth"
+    torch.save({"params_ema": sd}, str(ckpt))
+
+    monkeypatch.setattr(cr, "ARCH",
+                        dict(num_feat=8, num_block=2, num_grow_ch=4))
+    monkeypatch.setattr(cr, "run_reference",
+                        lambda weights, inp: cr.run_ours(weights, inp))
+    img_path = tmp_path / "in.png"
+    from neural_enhanced_super_resolution_tpu.utils.io import imwrite_rgb
+    imwrite_rgb(str(img_path), test_image)
+    gold = tmp_path / "goldens.npz"
+
+    monkeypatch.setattr(sys, "argv",
+                        ["prog", "--record", str(gold), "--weights",
+                         str(ckpt), "--images", str(img_path),
+                         "--crop", "64"])
+    assert cr.main() == 0
+    assert gold.exists()
+
+    monkeypatch.setattr(sys, "argv",
+                        ["prog", "--check", str(gold), "--weights",
+                         str(ckpt), "--tolerance", "0.1"])
+    assert cr.main() == 0  # self-vs-self must pass the 0.1 dB contract
