@@ -54,6 +54,12 @@ class SuperResolutionPipeline:
 
     def __init__(self, device: str = "auto", config: dict | None = None):
         enable_persistent_compilation_cache()
+        # Multi-host (DCN) init: a no-op unless a coordinator address is in
+        # the environment (runtime/distributed.py); must run before any
+        # backend-touching call so jax.devices() sees the whole pod slice.
+        from neural_enhanced_super_resolution_tpu.runtime.distributed import (
+            init_multihost)
+        init_multihost()
         self.device = determine_device(device)
         logger.info("Using device: %s", self.device)
         self.config = merge_config(self.device, config)
