@@ -50,9 +50,14 @@ def main() -> int:
     cfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=64,
                         num_block=23, num_grow_ch=32)
     params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
-    fused_mode = os.environ.get("NESR_BENCH_FUSED", "1")
+    fused_mode = os.environ.get("NESR_BENCH_FUSED", "dform")
     if fused_mode == "s2d":
         params = fuse_rrdbnet_params_s2d(params)
+    elif fused_mode == "dform":
+        # fused whole-RDB Pallas trunk (kernels/rdb_dform.py)
+        from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+            fuse_rrdbnet_params_dform)
+        params = fuse_rrdbnet_params_dform(params)
     elif fused_mode == "1":
         params = fuse_rrdbnet_params(params)
     params = jax.device_put(params)

@@ -203,3 +203,244 @@ def rdb_dform_reference(t: jax.Array, wd: dict, gc: int) -> jax.Array:
     x5 = (a5.astype(jnp.float32) + c4
           + b[4 * g2:])
     return (t.astype(jnp.float32) + 0.2 * x5).astype(t.dtype)
+
+
+# ----------------------------------------------------------- the kernel -----
+#
+# Line-buffered schedule: a sequential grid walks row blocks of bh s2d rows;
+# the five dense-block stages run skewed one row deeper per stage, carrying
+# their last rows in small rolling VMEM buffers so nothing is recomputed:
+#
+#   step g delivers input rows  [X-bh, X)          with X = g*bh + bh - IOFF
+#   stage k computes x_k rows   [X-bh-k, X-k)      (k = 1..5)
+#   the residual output covers  [X-bh-5, X-5)
+#
+# Stage values are written straight into next-stage dense-window buffers
+# (D_k, rows bh+2: mid/top/bot slots — the im2col never reads a source
+# buffer). Dense-block adds ride slot delay buffers A_m (rows bh+m-1, bf16,
+# matching the XLA path's bf16 materialisation of each c_i). All row indices
+# are static; validity at the image border is restored by iota masks (an
+# invalid row/col writes exact SAME-semantics zeros, so the bias term never
+# leaks past the image edge).
+#
+# I/O format (chainable call-to-call with ZERO XLA glue): (N, AP, WBP, 2C)
+# bf16, content at rows [IOFF, IOFF+A) and cols [8, 8+W), zeros elsewhere,
+# with IOFF = 10, AP = (ceil((A+IOFF)/bh)+1)*bh, WBP = 8 + W + pad. The
+# output block for format rows [g*bh, (g+1)*bh) is emitted one step late
+# through a modular out index map; step 0 emits the (all-zero) last block.
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+IOFF = 10  # rows of format lead: 5 stage-skew + 5 output lag
+
+
+def dform_format_shape(n, a, w, c2, bh=8):
+    nsteps = -(-(a + IOFF) // bh) + 1
+    wbp = 8 + (-(-(w + 8) // 8) * 8)
+    return (n, nsteps * bh, wbp, c2), nsteps
+
+
+def to_dform(t: jax.Array, bh: int = 8) -> jax.Array:
+    """(N, A, W, 2C) rows-s2d -> the kernel's padded I/O format."""
+    n, a, w, c2 = t.shape
+    (n_, ap, wbp, _), _ = dform_format_shape(n, a, w, c2, bh)
+    return jnp.pad(t, ((0, 0), (IOFF, ap - a - IOFF), (8, wbp - w - 8),
+                       (0, 0)))
+
+
+def from_dform(x: jax.Array, a: int, w: int) -> jax.Array:
+    return x[:, IOFF:IOFF + a, 8:8 + w, :]
+
+
+def _mk_kernel(*, bh, wbp, a, w, c, g, nsteps):
+    """Kernel factory. c = trunk feats (64), g = growth (32)."""
+    c2, g2 = 2 * c, 2 * g
+    ro = 2 * bh - 5                      # output lag buffer rows
+
+    def lrelu(x):
+        return jnp.where(x >= 0, x, 0.2 * x)
+
+    def kernel(in_ref, w0, w1, w2, w3, w4, b_ref, o_ref,
+               b0, d0, d1, d2, d3, d4, a2, a3, a4, a5, ob):
+        gi = pl.program_id(1)
+        dks = (d0, d1, d2, d3, d4)
+        aks = (None, None, a2, a3, a4, a5)
+
+        # ---- prologue: reset at the start of each batch item, else shift
+        @pl.when(gi == 0)
+        def _():
+            for ref in (b0, d0, d1, d2, d3, d4, a2, a3, a4, a5, ob):
+                ref[:] = jnp.zeros_like(ref)
+
+        @pl.when(gi > 0)
+        def _():
+            b0[0:5] = b0[bh:bh + 5]
+            for dk in dks:
+                dk[0:2] = dk[bh:bh + 2]
+            for m, ak in ((2, a2), (3, a3), (4, a4), (5, a5)):
+                ak[0:m - 1] = ak[bh:bh + m - 1]
+            ob[0:ro - bh] = ob[bh:ro]
+
+        # ---- ingest input rows [X-bh, X): residual buffer + conv0 windows
+        v = in_ref[0]
+        b0[5:5 + bh] = v
+        d0[1:1 + bh, :, 0:c2] = v
+        d0[2:2 + bh, :, c2:c2 + c] = v[:, :, c:c2]
+        d0[0:bh, :, c2 + c:2 * c2] = v[:, :, 0:c]
+
+        # validity masks: content rows [0, a), content cols [0, w)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, wbp, 1), 1)
+        colmask = (col >= 8) & (col < 8 + w)
+
+        def rowmask(k):
+            r = (jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
+                 + gi * bh - IOFF - k)
+            return (r >= 0) & (r < a)
+
+        # Uniform column extent for every stage: compute cols [1, wbp-1).
+        # Reading a never-written border column yields zero, which IS the
+        # SAME-semantics value there (content validity is enforced by the
+        # masks), so no per-stage column shrinking is needed — one slice
+        # geometry for all fifteen dots.
+        e = wbp - 2
+
+        def conv(dk, wk, k, n0, n1):
+            """One N-chunk of stage k's conv: sum of 3 col-shifted dots."""
+            acc = None
+            for dc in range(3):
+                part = jax.lax.dot_general(
+                    dk[0:bh, dc:dc + e, :],
+                    wk[dc, :, n0:n1], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = part if acc is None else acc + part
+            return acc
+
+        def emit_stage(k, xk):
+            """Mask + write stage k's activation into its window buffer.
+
+            Sliced stores at the stage's column extent [k, wbp-k); the halo
+            columns stay zero from the step-0 reset (never written)."""
+            xk = jnp.where(rowmask(k) & colmask[:, 1:wbp - 1, :], xk,
+                           jnp.zeros((), xk.dtype)).astype(jnp.bfloat16)
+            dk = dks[k]
+            dk[1:1 + bh, 1:wbp - 1, 0:g2] = xk
+            dk[2:2 + bh, 1:wbp - 1, g2:g2 + g] = xk[:, :, g:g2]
+            dk[0:bh, 1:wbp - 1, g2 + g:2 * g2] = xk[:, :, 0:g]
+
+        def slot_add(m, k, slab, first):
+            """Accumulate stage k's slab into slot m (bf16, f32 adds)."""
+            ak = aks[m]
+            lo, hi = 1, wbp - 1
+            if first:
+                ak[m - k:m - k + bh, lo:hi, :] = slab.astype(jnp.bfloat16)
+            else:
+                ak[m - k:m - k + bh, lo:hi, :] = (
+                    ak[m - k:m - k + bh, lo:hi, :].astype(jnp.float32)
+                    + slab).astype(jnp.bfloat16)
+
+        bias = b_ref[0]
+
+        # ---- stage 1: conv0 (x -> all slabs), N = 12g in 3 chunks
+        c01 = conv(d0, w0, 1, 0, 4 * g)                  # [x1 | x2]
+        emit_stage(1, lrelu(c01[:, :, 0:g2] + bias[0:g2]))
+        slot_add(2, 1, c01[:, :, g2:2 * g2], True)
+        c02 = conv(d0, w0, 1, 4 * g, 8 * g)              # [x3 | x4]
+        slot_add(3, 1, c02[:, :, 0:g2], True)
+        slot_add(4, 1, c02[:, :, g2:2 * g2], True)
+        c03 = conv(d0, w0, 1, 8 * g, 12 * g)             # [x5]
+        slot_add(5, 1, c03, True)
+
+        # ---- stage 2: conv1 (x1 -> x2..x5), N = 10g in 2 chunks
+        c11 = conv(d1, w1, 2, 0, 4 * g)                  # [x2 | x3]
+        x2 = lrelu(a2[0:bh, 1:wbp - 1, :].astype(jnp.float32)
+                   + c11[:, :, 0:g2] + bias[g2:2 * g2])
+        emit_stage(2, x2)
+        slot_add(3, 2, c11[:, :, g2:2 * g2], False)
+        c12 = conv(d1, w1, 2, 4 * g, 10 * g)             # [x4 | x5]
+        slot_add(4, 2, c12[:, :, 0:g2], False)
+        slot_add(5, 2, c12[:, :, g2:], False)
+
+        # ---- stage 3: conv2 (x2 -> x3..x5), N = 8g in 2 chunks
+        c21 = conv(d2, w2, 3, 0, 4 * g)                  # [x3 | x4]
+        x3 = lrelu(a3[0:bh, 1:wbp - 1, :].astype(jnp.float32)
+                   + c21[:, :, 0:g2] + bias[2 * g2:3 * g2])
+        emit_stage(3, x3)
+        slot_add(4, 3, c21[:, :, g2:2 * g2], False)
+        c22 = conv(d2, w2, 3, 4 * g, 8 * g)              # [x5]
+        slot_add(5, 3, c22, False)
+
+        # ---- stage 4: conv3 (x3 -> x4, x5), N = 6g in 1 chunk
+        c31 = conv(d3, w3, 4, 0, 6 * g)
+        x4 = lrelu(a4[0:bh, 1:wbp - 1, :].astype(jnp.float32)
+                   + c31[:, :, 0:g2] + bias[3 * g2:4 * g2])
+        emit_stage(4, x4)
+        slot_add(5, 4, c31[:, :, g2:], False)
+
+        # ---- stage 5: conv4 (x4 -> x5) + residual output
+        c41 = conv(d4, w4, 5, 0, 2 * c)
+        x5 = (a5[0:bh, 1:wbp - 1, :].astype(jnp.float32) + c41
+              + bias[4 * g2:])
+        res = (b0[0:bh, 1:wbp - 1, :].astype(jnp.float32)
+               + 0.2 * x5)
+        res = jnp.where(rowmask(5) & colmask[:, 1:wbp - 1, :], res,
+                        jnp.zeros((), res.dtype))
+        ob[ro - bh:ro, 1:wbp - 1, :] = res.astype(jnp.bfloat16)
+
+        # ---- emit output block g-1 (step 0 emits the all-zero last block)
+        o_ref[0] = ob[0:bh]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("a", "w", "bh", "interpret"))
+def rdb_dform_call(x: jax.Array, wd: dict, a: int, w: int, bh: int = 8,
+                   interpret: bool | None = None) -> jax.Array:
+    """One fused RDB on a kernel-format tensor (same format out).
+
+    x: (N, AP, WBP, 2C) bf16 from to_dform; wd: dform_rdb_weights output.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, ap, wbp, c2 = x.shape
+    c = c2 // 2
+    g = wd["w1"].shape[1] // 4
+    nsteps = ap // bh
+    g2 = 2 * g
+    ro = 2 * bh - 5
+
+    kern = _mk_kernel(bh=bh, wbp=wbp, a=a, w=w, c=c, g=g, nsteps=nsteps)
+    wspec = [pl.BlockSpec(wd[f"w{i}"].shape, (lambda nd: lambda ni, gi:
+             (0,) * nd)(3), memory_space=pltpu.VMEM) for i in range(5)]
+    bias2d = wd["b"][None, :]
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, ap, wbp, c2), jnp.bfloat16),
+        grid=(n, nsteps),
+        in_specs=[pl.BlockSpec((1, bh, wbp, c2),
+                               lambda ni, gi: (ni, gi, 0, 0),
+                               memory_space=pltpu.VMEM)]
+        + wspec
+        + [pl.BlockSpec(bias2d.shape, lambda ni, gi: (0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, bh, wbp, c2),
+            lambda ni, gi: (ni, (gi + nsteps - 1) % nsteps, 0, 0),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 5, wbp, c2), jnp.bfloat16),          # b0
+            pltpu.VMEM((bh + 2, wbp, 2 * c2), jnp.bfloat16),      # d0
+            pltpu.VMEM((bh + 2, wbp, 2 * g2), jnp.bfloat16),      # d1
+            pltpu.VMEM((bh + 2, wbp, 2 * g2), jnp.bfloat16),      # d2
+            pltpu.VMEM((bh + 2, wbp, 2 * g2), jnp.bfloat16),      # d3
+            pltpu.VMEM((bh + 2, wbp, 2 * g2), jnp.bfloat16),      # d4
+            pltpu.VMEM((bh + 1, wbp, g2), jnp.bfloat16),          # a2
+            pltpu.VMEM((bh + 2, wbp, g2), jnp.bfloat16),          # a3
+            pltpu.VMEM((bh + 3, wbp, g2), jnp.bfloat16),          # a4
+            pltpu.VMEM((bh + 4, wbp, c2), jnp.bfloat16),          # a5
+            pltpu.VMEM((ro, wbp, c2), jnp.bfloat16),              # ob
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x, *[wd[f"w{i}"] for i in range(5)], bias2d)

@@ -33,7 +33,7 @@ from jax import lax
 
 __all__ = ["RRDBNetConfig", "init_rrdbnet", "rrdbnet_forward",
            "pixel_unshuffle", "fuse_rrdbnet_params",
-           "fuse_rrdbnet_params_s2d"]
+           "fuse_rrdbnet_params_s2d", "fuse_rrdbnet_params_dform"]
 
 
 class RRDBNetConfig:
@@ -320,6 +320,61 @@ def fuse_rrdbnet_params_s2d(params: dict) -> dict:
     return out
 
 
+def fuse_rrdbnet_params_dform(params: dict) -> dict:
+    """fuse_rrdbnet_params + re-lay the trunk for the fused whole-RDB Pallas
+    kernel (kernels/rdb_dform.py): per RDB, five D-form weight tensors
+    (3, 4*Cin, 2*Nslab) with slab-blocked parity-paired N, stacked over the
+    num_block axis for lax.scan. Exact reparameterisation (index shuffle +
+    structured zeros); the head and conv_first/conv_body stay HWIO for XLA.
+    """
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_dform import (
+        dform_rdb_weights)
+
+    fused = params if "w0" in params.get("body", {}).get("rdb1", {}) \
+        else fuse_rrdbnet_params(params)
+    body = {}
+    for rdb, p in fused["body"].items():
+        nb = p["w0"].shape[0]
+        per_block = [dform_rdb_weights(
+            {k: np.asarray(v[i]) for k, v in p.items()})
+            for i in range(nb)]
+        body[rdb] = {k: jnp.stack([pb[k] for pb in per_block])
+                     for k in per_block[0]}
+    out = dict(fused)
+    out["body_dform"] = body
+    return out
+
+
+def _trunk_dform(params: dict, feat: jax.Array, cfg: RRDBNetConfig,
+                 cdt) -> jax.Array:
+    """23-block trunk through the fused whole-RDB kernel.
+
+    feat: (N, H, W, nf) -> same shape; includes the trunk conv_body residual.
+    """
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_dform import (
+        from_dform, rdb_dform_call, to_dform)
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
+        from_rows_s2d, to_rows_s2d)
+
+    t = to_rows_s2d(feat.astype(jnp.bfloat16))
+    a, w = t.shape[1], t.shape[2]
+    xf = to_dform(t)
+
+    def body_step(h, bp):
+        # basicsr RRDB: out = x + 0.2 * rdb3(rdb2(rdb1(x))) — each inner
+        # rdb already contains its own residual (the kernel returns
+        # x + 0.2*x5). Residual add in bf16, matching _rrdb.
+        h1 = rdb_dform_call(h, bp["rdb1"], a, w)
+        h1 = rdb_dform_call(h1, bp["rdb2"], a, w)
+        h1 = rdb_dform_call(h1, bp["rdb3"], a, w)
+        return h + 0.2 * h1, None
+
+    body_out, _ = lax.scan(body_step, xf, params["body_dform"])
+    body_feat = from_rows_s2d(from_dform(body_out, a, w))
+    feat = feat + _conv3x3(body_feat, params["conv_body"], cdt)
+    return feat
+
+
 def _nearest_x2(x: jax.Array) -> jax.Array:
     """torch F.interpolate(scale_factor=2, mode='nearest') in NHWC."""
     n, h, w, c = x.shape
@@ -479,6 +534,18 @@ def rrdbnet_forward(params: dict, x: jax.Array, cfg: RRDBNetConfig,
         x = pixel_unshuffle(x, 4)
 
     feat = _conv3x3(x, params["conv_first"], cdt)
+
+    if "body_dform" in params and feat.shape[1] % 2 == 0 \
+            and cdt == jnp.bfloat16:
+        # fused whole-RDB Pallas trunk (kernels/rdb_dform.py)
+        feat = _trunk_dform(params, feat, cfg, cdt)
+        if "up1_fold" in params:
+            return _head_forward(feat, params, cdt).astype(jnp.float32)
+        feat = _lrelu(_conv3x3(_nearest_x2(feat), params["conv_up1"], cdt))
+        feat = _lrelu(_conv3x3(_nearest_x2(feat), params["conv_up2"], cdt))
+        out = _conv3x3(_lrelu(_conv3x3(feat, params["conv_hr"], cdt)),
+                       params["conv_last"], cdt)
+        return out.astype(jnp.float32)
 
     s2d = "conv_body_wk" in params and feat.shape[1] % 2 == 0
     if s2d:

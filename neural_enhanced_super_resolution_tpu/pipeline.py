@@ -160,6 +160,16 @@ class SuperResolutionPipeline:
                 if cfg.get("fuse_rdb", True):
                     # exact MXU-shaped reparameterisation (models/rrdbnet.py)
                     params = fuse_rrdbnet_params(params)
+                    if (cfg.get("esrgan_trunk", "auto") in ("auto", "dform")
+                            and self.device == "tpu"
+                            and cfg["precision"] == "bfloat16"
+                            and cfg.get("esrgan_trunk") != "xla"):
+                        # fused whole-RDB Pallas trunk: ~1.7x the XLA trunk
+                        # on v5e (kernels/rdb_dform.py); falls back to the
+                        # XLA path automatically for odd heights.
+                        from neural_enhanced_super_resolution_tpu.models \
+                            .rrdbnet import fuse_rrdbnet_params_dform
+                        params = fuse_rrdbnet_params_dform(params)
                 self.models["esrgan"] = {"params": params, "cfg": model_cfg}
                 logger.info("Real-ESRGAN model loaded successfully")
             except Exception as exc:  # ladder: feature disabled, continue

@@ -113,3 +113,90 @@ def test_flash_attention_padded_kv_with_extreme_scores(rng):
     expected = jnp.mean(v, axis=2, keepdims=True).repeat(sq, axis=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
                                atol=2e-3)
+
+
+# ----------------------------------------------- fused whole-RDB (D-form) ---
+
+def _mk_fused_rdb(nf, gc, seed=0):
+    import jax
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+        RRDBNetConfig, fuse_rrdbnet_params, init_rrdbnet)
+    cfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=nf,
+                        num_block=1, num_grow_ch=gc)
+    params = fuse_rrdbnet_params(init_rrdbnet(jax.random.PRNGKey(seed), cfg))
+    return {k: np.asarray(v[0]) for k, v in params["body"]["rdb1"].items()}
+
+
+@pytest.mark.parametrize("nf,gc,h,w", [(8, 4, 24, 16), (8, 4, 36, 40),
+                                       (64, 32, 32, 48)])
+def test_rdb_dform_reference_matches_xla_fused(rng, nf, gc, h, w):
+    """D-form weight relayout + XLA reference == the production fused RDB
+    (bf16-materialisation differences only)."""
+    import jax.numpy as jnp
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import _rdb_fused
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
+        from_rows_s2d, to_rows_s2d)
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_dform import (
+        dform_rdb_weights, rdb_dform_reference)
+
+    rdb = _mk_fused_rdb(nf, gc)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, h, w, nf)).astype(np.float32),
+                    jnp.bfloat16)
+    ref = np.asarray(_rdb_fused(
+        x, {k: jnp.asarray(v) for k, v in rdb.items()}, gc, jnp.bfloat16),
+        np.float32)
+    wd = dform_rdb_weights(rdb)
+    got = np.asarray(from_rows_s2d(rdb_dform_reference(
+        to_rows_s2d(x), wd, gc)), np.float32)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(ref - got).max() / scale < 2e-2
+
+
+@pytest.mark.parametrize("nf,gc,h,w", [(8, 4, 24, 16), (8, 4, 36, 40),
+                                       (64, 32, 32, 48)])
+def test_rdb_dform_kernel_exact_vs_reference(rng, nf, gc, h, w):
+    """The line-buffered Pallas kernel (interpret mode on CPU) is bit-level
+    equal to its XLA oracle, and the chainable I/O format keeps its halo
+    zeros."""
+    import jax.numpy as jnp
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
+        to_rows_s2d)
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_dform import (
+        IOFF, dform_rdb_weights, from_dform, rdb_dform_call,
+        rdb_dform_reference, to_dform)
+
+    rdb = _mk_fused_rdb(nf, gc)
+    wd = dform_rdb_weights(rdb)
+    x = jnp.asarray(rng.normal(0, 0.5, (2, h, w, nf)).astype(np.float32),
+                    jnp.bfloat16)
+    t = to_rows_s2d(x)
+    a, wcols = t.shape[1], t.shape[2]
+    ref = np.asarray(rdb_dform_reference(t, wd, gc), np.float32)
+    out = rdb_dform_call(to_dform(t), wd, a, wcols, interpret=True)
+    got = np.asarray(from_dform(out, a, wcols), np.float32)
+    assert np.abs(ref - got).max() < 1e-4
+
+    halo = np.asarray(out, np.float32)
+    halo[:, IOFF:IOFF + a, 8:8 + wcols, :] = 0
+    assert np.abs(halo).max() == 0.0
+
+
+def test_rrdbnet_forward_dform_matches_fused(rng):
+    """Full forward with the dform trunk == the XLA fused trunk (bf16 tol)."""
+    import jax
+    import jax.numpy as jnp
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+        RRDBNetConfig, fuse_rrdbnet_params, fuse_rrdbnet_params_dform,
+        init_rrdbnet, rrdbnet_forward)
+
+    cfg = RRDBNetConfig(num_in_ch=3, num_out_ch=3, scale=4, num_feat=8,
+                        num_block=2, num_grow_ch=4)
+    raw = init_rrdbnet(jax.random.PRNGKey(1), cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 20, 24, 3)).astype(np.float32))
+    ref = np.asarray(rrdbnet_forward(
+        fuse_rrdbnet_params(raw), x, cfg, "bfloat16"))
+    got = np.asarray(rrdbnet_forward(
+        fuse_rrdbnet_params_dform(raw), x, cfg, "bfloat16"))
+    assert ref.shape == got.shape == (1, 80, 96, 3)
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(ref - got).max() / scale < 3e-2
