@@ -50,7 +50,7 @@ def main() -> int:
     cfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=64,
                         num_block=23, num_grow_ch=32)
     params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
-    fused_mode = os.environ.get("NESR_BENCH_FUSED", "dform")
+    fused_mode = os.environ.get("NESR_BENCH_FUSED", "1")
     if fused_mode == "s2d":
         params = fuse_rrdbnet_params_s2d(params)
     elif fused_mode == "dform":

@@ -1,12 +1,18 @@
-"""Fused whole-RDB Pallas kernel, D-form edition — the production trunk conv.
+"""Fused whole-RDB Pallas kernel, D-form edition (experimental, opt-in).
 
-Measured motivation (benchmarks/envelope_rdb_fused.py + slope-extracted
-component rates on this v5e): XLA's fused-RDB trunk runs 43.9 TF/s effective
-(14.5 ms per RDB per 16x288^2 tile batch); in-kernel, the same math runs at
-~194-203 TF/s on the MXU once data sits in VMEM, with window builds at
-~565 GB/s. Fusing the five dense-block convs per RDB into one kernel removes
-the HBM round-trips between convs (the c_i tensors: ~1.7 GB per RDB per
-batch) that cap the XLA path.
+STATUS (measured on this v5e via the remote-compile tunnel, 2026-08-16):
+the kernel is numerically exact (1 bf16 ulp vs its XLA oracle) but runs
+~37 ms per RDB on the 16x288^2 tile batch vs 14.5 ms for the XLA fused
+path — ~2.5x SLOWER — so the production default stays the XLA trunk
+(models/rrdbnet._rdb_fused). Profiling attributes the gap to per-op VMEM
+materialisation of f32 intermediates inside the step body (~30 MB/step at
+~0.5 TB/s effective VPU copy bandwidth), which Mosaic does not fuse across
+the dot/assembly chain; per-step I/O pipelining and the rolling-carry
+machinery measure <5 us/step and are NOT the bottleneck
+(benchmarks/RESULTS.md round-2 decision record). Re-evaluate on
+directly-attached hardware with a profiler before further tuning.
+
+Design (kept because the schedule itself is sound and fully tested):
 
 Layout: rows-s2d (N, A, W, 2C) with A = H/2 and channel = pi*C + c
 (kernels/rdb_pallas.py to_rows_s2d). A 3x3 SAME conv C->D becomes, for each
@@ -14,31 +20,20 @@ output s2d-row a, a contraction over the *dense window*
 
     D[a, w, :] = [ x_s2d[a] (2C) | x[2a-1] (C) | x[2a+2] (C) ]     (4C lanes)
 
-applied at three column shifts dc in {0,1,2}:
+applied at three column shifts dc in {0,1,2} with K = 4C pass-aligned.
+One pallas_call runs a whole residual dense block: a sequential grid walks
+row blocks, the five dense-block stages run skewed one row deeper per stage
+with rolling carry buffers (zero halo recompute), stage values are written
+straight into the next stage's window buffer, dense-block adds ride bf16
+slot delay-lines (the XLA path's own materialisation points), and the
+residual output is emitted one grid step late so every block write stays
+aligned. Wide images are walked in column blocks (compile time scales
+superlinearly with per-program block area; the 16-col halo arrives as two
+pipelined 8-wide input blocks). I/O format is chainable call-to-call.
 
-    out[a, w, oi*D+f] = sum_dc dot(D[a, dc+w, :], W'[dc])          K = 4C
-
-W'[dc][q, n] = w[dr, dc, c, f] with dr = p(q) - oi + 1 (zero outside 0..2),
-where p(q) in {-1, 0, 1, 2} is the x-row offset encoded by lane q. K = 4C is
-MXU-pass-aligned (256 for the 64-wide trunk, 128 for the 32-wide growth
-convs); the structural zeros cost the same 4/3 FLOP tax as the rows-s2d
-patch (rdb_pallas.py) but the window build is 3 mostly-lane-aligned copies
-instead of a 9-piece lane-misaligned im2col.
-
-Source-major fusion (same reparameterisation as models/rrdbnet._rdb_fused):
-each source x_k gets ONE conv with all destination slabs stacked on N
-(384/320/256/192/128 wide), and the dense-block adds become slot
-accumulators. N-order interleaves the s2d parity pairs per destination slot
-(slot-major, oi within slot) so assembly slices sit at 64-lane boundaries.
-
-Numerics: MXU accumulates f32 per conv; slot accumulators and stage
-activations are stored bf16 between convs — the same bf16 materialisation
-points as the XLA fused path (models/rrdbnet.py _rdb_fused casts each c_i to
-bf16), except partial slot sums round pairwise instead of in one f32 chain.
-Residual adds (x + 0.2*x5) run in f32.
-
-Replaces the reference's pip-delegated CUDA convs on the hot path
-(/root/reference/nesr/nesr.py:216 via basicsr RRDBNet).
+Replaces nothing today; the reference's hot path
+(/root/reference/nesr/nesr.py:216 via basicsr RRDBNet) runs on the XLA
+fused trunk (models/rrdbnet.py).
 """
 
 from __future__ import annotations
@@ -233,19 +228,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 IOFF = 10  # rows of format lead: 5 stage-skew + 5 output lag
+WBW_MAX = 144  # max W-block width: Mosaic compile time grows superlinearly
+               # with the per-program block area (measured 140 s at 8x112 vs
+               # 1004 s at 8x304), so wide images are walked in column blocks
+
+
+def pick_wbw(w: int) -> int:
+    """Widest multiple-of-8 block width <= WBW_MAX minimising overhang."""
+    if w <= WBW_MAX:
+        return -(-w // 8) * 8
+    best, best_over = WBW_MAX, None
+    for cand in range(WBW_MAX, 63, -8):
+        over = (-w) % cand
+        if best_over is None or over < best_over:
+            best, best_over = cand, over
+            if over == 0:
+                break
+    return best
 
 
 def dform_format_shape(n, a, w, c2, bh=8):
     nsteps = -(-(a + IOFF) // bh) + 1
-    wbp = 8 + (-(-(w + 8) // 8) * 8)
-    return (n, nsteps * bh, wbp, c2), nsteps
+    wbw = pick_wbw(w)
+    nwb = -(-w // wbw)
+    wf = 8 + nwb * wbw + 8
+    return (n, nsteps * bh, wf, c2), nsteps
 
 
 def to_dform(t: jax.Array, bh: int = 8) -> jax.Array:
     """(N, A, W, 2C) rows-s2d -> the kernel's padded I/O format."""
     n, a, w, c2 = t.shape
-    (n_, ap, wbp, _), _ = dform_format_shape(n, a, w, c2, bh)
-    return jnp.pad(t, ((0, 0), (IOFF, ap - a - IOFF), (8, wbp - w - 8),
+    (n_, ap, wf, _), _ = dform_format_shape(n, a, w, c2, bh)
+    return jnp.pad(t, ((0, 0), (IOFF, ap - a - IOFF), (8, wf - w - 8),
                        (0, 0)))
 
 
@@ -253,21 +267,27 @@ def from_dform(x: jax.Array, a: int, w: int) -> jax.Array:
     return x[:, IOFF:IOFF + a, 8:8 + w, :]
 
 
-def _mk_kernel(*, bh, wbp, a, w, c, g, nsteps):
-    """Kernel factory. c = trunk feats (64), g = growth (32)."""
+def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps):
+    """Kernel factory. c = trunk feats (64), g = growth (32).
+
+    Grid (n, nwb, nsteps): column blocks of wbw content columns each, with a
+    16-column halo delivered as two extra 8-wide pipelined input blocks.
+    """
     c2, g2 = 2 * c, 2 * g
+    wbp = wbw + 16                       # per-block buffer width
     ro = 2 * bh - 5                      # output lag buffer rows
 
     def lrelu(x):
         return jnp.where(x >= 0, x, 0.2 * x)
 
-    def kernel(in_ref, w0, w1, w2, w3, w4, b_ref, o_ref,
+    def kernel(in_ref, h1_ref, h2_ref, w0, w1, w2, w3, w4, b_ref, o_ref,
                b0, d0, d1, d2, d3, d4, a2, a3, a4, a5, ob):
-        gi = pl.program_id(1)
+        wb = pl.program_id(1)
+        gi = pl.program_id(2)
         dks = (d0, d1, d2, d3, d4)
         aks = (None, None, a2, a3, a4, a5)
 
-        # ---- prologue: reset at the start of each batch item, else shift
+        # ---- prologue: reset at the start of each (n, column-block) walk
         @pl.when(gi == 0)
         def _():
             for ref in (b0, d0, d1, d2, d3, d4, a2, a3, a4, a5, ob):
@@ -283,15 +303,20 @@ def _mk_kernel(*, bh, wbp, a, w, c, g, nsteps):
             ob[0:ro - bh] = ob[bh:ro]
 
         # ---- ingest input rows [X-bh, X): residual buffer + conv0 windows
-        v = in_ref[0]
-        b0[5:5 + bh] = v
+        b0[5:5 + bh, 0:wbw] = in_ref[0]
+        b0[5:5 + bh, wbw:wbw + 8] = h1_ref[0]
+        b0[5:5 + bh, wbw + 8:wbw + 16] = h2_ref[0]
+        v = b0[5:5 + bh]
         d0[1:1 + bh, :, 0:c2] = v
         d0[2:2 + bh, :, c2:c2 + c] = v[:, :, c:c2]
         d0[0:bh, :, c2 + c:2 * c2] = v[:, :, 0:c]
 
-        # validity masks: content rows [0, a), content cols [0, w)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, wbp, 1), 1)
-        colmask = (col >= 8) & (col < 8 + w)
+        # validity masks: content rows [0, a), content cols [0, w).
+        # Local col j of block wb is format col wb*wbw + j = content col
+        # wb*wbw + j - 8.
+        col = (jax.lax.broadcasted_iota(jnp.int32, (1, wbp, 1), 1)
+               + wb * wbw - 8)
+        colmask = (col >= 0) & (col < w)
 
         def rowmask(k):
             r = (jax.lax.broadcasted_iota(jnp.int32, (bh, 1, 1), 0)
@@ -306,15 +331,20 @@ def _mk_kernel(*, bh, wbp, a, w, c, g, nsteps):
         e = wbp - 2
 
         def conv(dk, wk, k, n0, n1):
-            """One N-chunk of stage k's conv: sum of 3 col-shifted dots."""
+            """One N-chunk of stage k's conv: sum of 3 col-shifted dots.
+
+            Operands are flattened to 2-D (M, K): Mosaic lowers the 3-D
+            (rows, cols, K) form as many small per-row matmuls, measured
+            ~4x slower than the flattened single matmul."""
+            kdim = dk.shape[-1]
             acc = None
             for dc in range(3):
+                lhs = dk[0:bh, dc:dc + e, :].reshape(bh * e, kdim)
                 part = jax.lax.dot_general(
-                    dk[0:bh, dc:dc + e, :],
-                    wk[dc, :, n0:n1], (((2,), (0,)), ((), ())),
+                    lhs, wk[dc, :, n0:n1], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = part if acc is None else acc + part
-            return acc
+            return acc.reshape(bh, e, n1 - n0)
 
         def emit_stage(k, xk):
             """Mask + write stage k's activation into its window buffer.
@@ -388,7 +418,7 @@ def _mk_kernel(*, bh, wbp, a, w, c, g, nsteps):
         ob[ro - bh:ro, 1:wbp - 1, :] = res.astype(jnp.bfloat16)
 
         # ---- emit output block g-1 (step 0 emits the all-zero last block)
-        o_ref[0] = ob[0:bh]
+        o_ref[0] = ob[0:bh, 8:8 + wbw]
 
     return kernel
 
@@ -398,34 +428,50 @@ def rdb_dform_call(x: jax.Array, wd: dict, a: int, w: int, bh: int = 8,
                    interpret: bool | None = None) -> jax.Array:
     """One fused RDB on a kernel-format tensor (same format out).
 
-    x: (N, AP, WBP, 2C) bf16 from to_dform; wd: dform_rdb_weights output.
+    x: (N, AP, WF, 2C) bf16 from to_dform; wd: dform_rdb_weights output.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    n, ap, wbp, c2 = x.shape
+    n, ap, wf, c2 = x.shape
     c = c2 // 2
     g = wd["w1"].shape[1] // 4
     nsteps = ap // bh
     g2 = 2 * g
     ro = 2 * bh - 5
+    wbw = pick_wbw(w)
+    nwb = (wf - 16) // wbw
+    wbp = wbw + 16
 
-    kern = _mk_kernel(bh=bh, wbp=wbp, a=a, w=w, c=c, g=g, nsteps=nsteps)
-    wspec = [pl.BlockSpec(wd[f"w{i}"].shape, (lambda nd: lambda ni, gi:
+    kern = _mk_kernel(bh=bh, wbw=wbw, a=a, w=w, c=c, g=g, nsteps=nsteps)
+    wspec = [pl.BlockSpec(wd[f"w{i}"].shape, (lambda nd: lambda ni, wi, gi:
              (0,) * nd)(3), memory_space=pltpu.VMEM) for i in range(5)]
     bias2d = wd["b"][None, :]
-    return pl.pallas_call(
+    assert wbw % 8 == 0 and wf == 8 + nwb * wbw + 8
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, ap, wbp, c2), jnp.bfloat16),
-        grid=(n, nsteps),
-        in_specs=[pl.BlockSpec((1, bh, wbp, c2),
-                               lambda ni, gi: (ni, gi, 0, 0),
-                               memory_space=pltpu.VMEM)]
+        out_shape=jax.ShapeDtypeStruct((n, ap, nwb * wbw, c2), jnp.bfloat16),
+        grid=(n, nwb, nsteps),
+        in_specs=[
+            # main block: format cols [wb*wbw, (wb+1)*wbw)
+            pl.BlockSpec((1, bh, wbw, c2),
+                         lambda ni, wi, gi: (ni, gi, wi, 0),
+                         memory_space=pltpu.VMEM),
+            # 16-col halo as two 8-wide blocks at (wb+1)*wbw, +8
+            pl.BlockSpec((1, bh, 8, c2),
+                         lambda ni, wi, gi: (ni, gi, (wi + 1) * (wbw // 8),
+                                             0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bh, 8, c2),
+                         lambda ni, wi, gi: (ni, gi,
+                                             (wi + 1) * (wbw // 8) + 1, 0),
+                         memory_space=pltpu.VMEM),
+        ]
         + wspec
-        + [pl.BlockSpec(bias2d.shape, lambda ni, gi: (0, 0),
+        + [pl.BlockSpec(bias2d.shape, lambda ni, wi, gi: (0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(
-            (1, bh, wbp, c2),
-            lambda ni, gi: (ni, (gi + nsteps - 1) % nsteps, 0, 0),
+            (1, bh, wbw, c2),
+            lambda ni, wi, gi: (ni, (gi + nsteps - 1) % nsteps, wi, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((bh + 5, wbp, c2), jnp.bfloat16),          # b0
@@ -443,4 +489,6 @@ def rdb_dform_call(x: jax.Array, wd: dict, a: int, w: int, bh: int = 8,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(x, *[wd[f"w{i}"] for i in range(5)], bias2d)
+    )(x, x, x, *[wd[f"w{i}"] for i in range(5)], bias2d)
+    # restore the chainable format: the out array is in content columns
+    return jnp.pad(out, ((0, 0), (0, 0), (8, 8), (0, 0)))

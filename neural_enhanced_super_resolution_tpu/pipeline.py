@@ -160,13 +160,16 @@ class SuperResolutionPipeline:
                 if cfg.get("fuse_rdb", True):
                     # exact MXU-shaped reparameterisation (models/rrdbnet.py)
                     params = fuse_rrdbnet_params(params)
-                    if (cfg.get("esrgan_trunk", "auto") in ("auto", "dform")
+                    if (cfg.get("esrgan_trunk") == "dform"
                             and self.device == "tpu"
-                            and cfg["precision"] == "bfloat16"
-                            and cfg.get("esrgan_trunk") != "xla"):
-                        # fused whole-RDB Pallas trunk: ~1.7x the XLA trunk
-                        # on v5e (kernels/rdb_dform.py); falls back to the
-                        # XLA path automatically for odd heights.
+                            and cfg["precision"] == "bfloat16"):
+                        # Opt-in fused whole-RDB Pallas trunk. Measured
+                        # SLOWER than the XLA fused path on this v5e
+                        # (37 vs 14.5 ms/RDB — see benchmarks/RESULTS.md
+                        # decision record), so the default stays "xla";
+                        # kept for re-evaluation on directly-attached
+                        # hardware where per-op VMEM materialisation and
+                        # compile behaviour differ.
                         from neural_enhanced_super_resolution_tpu.models \
                             .rrdbnet import fuse_rrdbnet_params_dform
                         params = fuse_rrdbnet_params_dform(params)

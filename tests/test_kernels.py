@@ -200,3 +200,27 @@ def test_rrdbnet_forward_dform_matches_fused(rng):
     assert ref.shape == got.shape == (1, 80, 96, 3)
     scale = max(1.0, np.abs(ref).max())
     assert np.abs(ref - got).max() / scale < 3e-2
+
+
+@pytest.mark.parametrize("w", [160, 300])
+def test_rdb_dform_kernel_multi_column_blocks(rng, w):
+    """Wide inputs walk multiple column blocks (compile-time bound): the
+    8-col inter-block context margin and overhang masking must be exact."""
+    import jax.numpy as jnp
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
+        to_rows_s2d)
+    from neural_enhanced_super_resolution_tpu.kernels.rdb_dform import (
+        dform_rdb_weights, from_dform, pick_wbw, rdb_dform_call,
+        rdb_dform_reference, to_dform)
+
+    assert pick_wbw(w) < w  # really multi-block
+    rdb = _mk_fused_rdb(8, 4)
+    wd = dform_rdb_weights(rdb)
+    x = jnp.asarray(rng.normal(0, 0.5, (1, 24, w, 8)).astype(np.float32),
+                    jnp.bfloat16)
+    t = to_rows_s2d(x)
+    a = t.shape[1]
+    ref = np.asarray(rdb_dform_reference(t, wd, 4), np.float32)
+    out = rdb_dform_call(to_dform(t), wd, a, w, interpret=True)
+    got = np.asarray(from_dform(out, a, w), np.float32)
+    assert np.abs(ref - got).max() < 1e-4
