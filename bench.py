@@ -7,8 +7,10 @@ Prints ONE JSON line:
 Method: the flagship configuration from BASELINE.md — full-size RRDBNet
 (num_feat=64, num_block=23, 12-channel quirk mode exactly as the reference
 constructs it, /root/reference/nesr/nesr.py:216) runs the batched-tile path
-(parallel/tiling.process_tiled) over a 2048x2048 input with 512-px tiles and
-16-px halos in bf16. Steady-state timing after a warmup pass; throughput is
+(parallel/tiling.process_tiled) over a 2048x2048 input with 256-px tiles and
+10-px halos in bf16 (halo 10 = the reference tiler's default padding,
+/root/reference/nesr/nesr.py:311; measured quality-identical to halo 16,
+benchmarks/RESULTS.md round-2 geometry sweep). Steady-state timing after a warmup pass; throughput is
 *input* megapixels per second on one chip. vs_baseline is the ratio against
 the 30 MP/s/chip north-star target (the reference publishes no numbers —
 BASELINE.md).
@@ -43,7 +45,7 @@ def main() -> int:
 
     H = W = int(os.environ.get("NESR_BENCH_SIZE", 2048))
     TILE = int(os.environ.get("NESR_BENCH_TILE", 256))
-    HALO = int(os.environ.get("NESR_BENCH_HALO", 16))
+    HALO = int(os.environ.get("NESR_BENCH_HALO", 10))
     REPS = int(os.environ.get("NESR_BENCH_REPS", 3))
     BATCH = int(os.environ.get("NESR_BENCH_BATCH", 16))
 
