@@ -142,3 +142,17 @@ def test_ensemble_members_sharded_matches_manual(rng):
                                               weights=weights))
     ref = sum(w * s * img for w, s in zip(weights, scales))
     assert np.allclose(out, ref, atol=1e-6)
+
+
+def test_process_tiled_halo_sufficiency(rng):
+    """Any halo >= the model's receptive field gives identical tiled output.
+
+    Locks in the round-2 bench-geometry finding: for a local model, the
+    tiled result is halo-independent once the halo covers the receptive
+    field, so shrinking the bench halo (16 -> 10, the reference tiler's
+    default) is quality-neutral by construction."""
+    img = rng.random((70, 90, 3), dtype=np.float32)
+    outs = [np.asarray(process_tiled(_upscale2x_model, img, tile_size=32,
+                                     halo=h, scale=2)) for h in (2, 4, 8)]
+    for o in outs[1:]:
+        assert np.allclose(o[8:-8, 8:-8], outs[0][8:-8, 8:-8], atol=1e-5)
