@@ -79,8 +79,9 @@ def init_multihost(coordinator_address: str | None = None,
                 jax.distributed.initialize()
             except RuntimeError as e:
                 # Backend already initialised (e.g. a single-host session in
-                # a pod-flavoured environment): stay single-process.
-                logger.warning("multi-host autodetection skipped: %s", e)
+                # a pod-flavoured environment): stay single-process. Normal
+                # here, so keep it out of the default log stream.
+                logger.debug("multi-host autodetection skipped: %s", e)
                 return False
             _initialized = True
             logger.info("jax.distributed autodetected pod: %d processes",
