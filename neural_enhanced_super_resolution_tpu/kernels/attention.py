@@ -167,8 +167,15 @@ def attention_auto(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
         attention as xla_attention)
 
+    import os
+
     b, sq, dm = q.shape
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    # Escape hatch for tensor-parallel runs: the flash kernel is a custom
+    # call GSPMD cannot partition over a head-sharded tp axis, while the
+    # XLA einsum path shards cleanly (parallel/tensor.py).
+    if os.environ.get("NESR_DISABLE_FLASH_ATTENTION") == "1":
+        on_tpu = False
     if mask is not None or not on_tpu or sq < min_seq_for_flash:
         return xla_attention(q, k, v, num_heads, mask=mask, dtype=dtype)
     hd = dm // num_heads

@@ -535,20 +535,14 @@ def rrdbnet_forward(params: dict, x: jax.Array, cfg: RRDBNetConfig,
 
     feat = _conv3x3(x, params["conv_first"], cdt)
 
-    if "body_dform" in params and feat.shape[1] % 2 == 0 \
-            and cdt == jnp.bfloat16:
-        # fused whole-RDB Pallas trunk (kernels/rdb_dform.py)
+    dform = "body_dform" in params and feat.shape[1] % 2 == 0 \
+        and cdt == jnp.bfloat16
+    s2d = not dform and "conv_body_wk" in params and feat.shape[1] % 2 == 0
+    if dform:
+        # fused whole-RDB Pallas trunk (kernels/rdb_dform.py); shares the
+        # upsampling head below with the other trunk variants.
         feat = _trunk_dform(params, feat, cfg, cdt)
-        if "up1_fold" in params:
-            return _head_forward(feat, params, cdt).astype(jnp.float32)
-        feat = _lrelu(_conv3x3(_nearest_x2(feat), params["conv_up1"], cdt))
-        feat = _lrelu(_conv3x3(_nearest_x2(feat), params["conv_up2"], cdt))
-        out = _conv3x3(_lrelu(_conv3x3(feat, params["conv_hr"], cdt)),
-                       params["conv_last"], cdt)
-        return out.astype(jnp.float32)
-
-    s2d = "conv_body_wk" in params and feat.shape[1] % 2 == 0
-    if s2d:
+    elif s2d:
         # rows-s2d trunk: the 23-block scan and conv_body run in the Pallas
         # patch-matmul layout (kernels/rdb_pallas.py); one transpose each way.
         from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (

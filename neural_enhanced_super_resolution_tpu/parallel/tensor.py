@@ -23,9 +23,19 @@ Head-count divisibility: SD-x4's UNet uses 8 heads per block
 divides every block. ``tp_spec_for`` returns None (replicate) for any tensor
 whose sharded dim would not divide evenly, so partial coverage degrades
 gracefully instead of erroring.
+
+Flash-attention interaction: on TPU, long latent self-attention normally
+routes into the Pallas flash kernel (kernels/attention.py attention_auto),
+a custom call the SPMD partitioner cannot split over the tp axis. TP
+deployments must set ``NESR_DISABLE_FLASH_ATTENTION=1`` so attention runs
+as XLA einsums, which GSPMD partitions cleanly over the head-sharded
+dimension. The XLA path costs more HBM for attention scores but the tp-way
+head split reduces per-chip sequence memory proportionally.
 """
 
 from __future__ import annotations
+
+import os
 
 import re
 
@@ -49,12 +59,9 @@ _COL_BIAS = re.compile(r"\.(attn[12]\.to_[qkv]|ff\.net\.0\.proj)\.bias$")
 
 
 def tp_mesh(n_devices: int | None = None, axis_name: str = "tp") -> Mesh:
-    """1-D TP mesh helper (mirror of parallel.mesh.make_mesh)."""
-    import numpy as np
-    devs = jax.devices()
-    if n_devices is not None:
-        devs = devs[:n_devices]
-    return Mesh(np.array(devs), (axis_name,))
+    """1-D TP mesh (parallel.mesh.make_mesh with a 'tp' axis)."""
+    from neural_enhanced_super_resolution_tpu.parallel.mesh import make_mesh
+    return make_mesh(n_devices, axis_name)
 
 
 def _divides(dim_size: int, mesh: Mesh, axis_name: str) -> bool:
@@ -92,6 +99,15 @@ def shard_transformer_params(params: dict, mesh: Mesh,
     Running the existing unet_forward/vae under jit inside ``mesh`` then
     executes with Megatron-style TP — XLA inserts the psums over ICI.
     """
+    if mesh.shape[axis_name] > 1 and \
+            os.environ.get("NESR_DISABLE_FLASH_ATTENTION") != "1" and \
+            any(d.platform == "tpu" for d in jax.devices()):
+        import logging
+        logging.getLogger("nesr").warning(
+            "TP over %d devices on TPU: set NESR_DISABLE_FLASH_ATTENTION=1 "
+            "— the Pallas flash-attention custom call cannot be partitioned "
+            "over the tp axis (see parallel/tensor.py docstring)",
+            mesh.shape[axis_name])
     out = {}
     for name, val in params.items():
         spec = tp_spec_for(name, tuple(val.shape), mesh, axis_name)

@@ -95,7 +95,15 @@ def init_multihost(coordinator_address: str | None = None,
         kwargs["num_processes"] = int(nproc)
     if pid is not None:
         kwargs["process_id"] = int(pid)
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception as e:  # noqa: BLE001 — ladder: degrade to single-host
+        # E.g. a stale JAX_NUM_PROCESSES without a coordinator address, or a
+        # backend initialised before us. Pipeline construction must survive
+        # (graceful-degradation ladder), so log loudly and stay single-host.
+        logger.error("jax.distributed.initialize(%s) failed; continuing "
+                     "single-host: %s", kwargs, e)
+        return False
     _initialized = True
     logger.info("jax.distributed initialised: process %d/%d, %d local + %d "
                 "global devices", jax.process_index(), jax.process_count(),
@@ -134,8 +142,12 @@ def local_tile_slice(n_tiles: int) -> slice:
     Host-side helper for multi-host batch serving: tiles are staged only by
     the process that owns them (jax.make_array_from_process_local_data
     assembles the global array), keeping HBM staging traffic host-local.
+    Balanced floor/ceil split: the first ``n_tiles % n_proc`` processes get
+    one extra tile, so no process is left idle when the count does not
+    divide (e.g. 10 tiles / 4 procs -> 3/3/2/2, not 3/3/3/1).
     """
     n_proc = jax.process_count()
-    per = -(-n_tiles // n_proc)
-    start = jax.process_index() * per
-    return slice(start, min(start + per, n_tiles))
+    idx = jax.process_index()
+    base, extra = divmod(n_tiles, n_proc)
+    start = idx * base + min(idx, extra)
+    return slice(start, start + base + (1 if idx < extra else 0))

@@ -53,9 +53,12 @@ def test_local_tile_slice_arithmetic(monkeypatch):
     # Simulate 4 processes: every tile is owned by exactly one process and
     # coverage is complete and in order.
     monkeypatch.setattr(jax, "process_count", lambda: 4)
-    owned = []
+    owned, sizes = [], []
     for pid in range(4):
         monkeypatch.setattr(jax, "process_index", lambda p=pid: p)
         s = distributed.local_tile_slice(10)
         owned.extend(range(s.start, s.stop))
+        sizes.append(s.stop - s.start)
     assert owned == list(range(10))
+    # balanced floor/ceil split: no idle process, max skew 1
+    assert sizes == [3, 3, 2, 2]

@@ -147,10 +147,12 @@ def test_ensemble_members_sharded_matches_manual(rng):
 def test_process_tiled_halo_sufficiency(rng):
     """Any halo >= the model's receptive field gives identical tiled output.
 
-    Locks in the round-2 bench-geometry finding: for a local model, the
-    tiled result is halo-independent once the halo covers the receptive
-    field, so shrinking the bench halo (16 -> 10, the reference tiler's
-    default) is quality-neutral by construction."""
+    Demonstrates the mechanism on a toy model whose receptive field (1 px)
+    the halos actually cover. NOTE: the production RRDBNet's receptive
+    field is hundreds of pixels, so no practical halo covers it — the
+    bench-geometry choice (halo 16 -> 10) is justified EMPIRICALLY by the
+    tiled-vs-untiled PSNR sweep in benchmarks/RESULTS.md (identical at
+    halo 6..16), not by this construction."""
     img = rng.random((70, 90, 3), dtype=np.float32)
     outs = [np.asarray(process_tiled(_upscale2x_model, img, tile_size=32,
                                      halo=h, scale=2)) for h in (2, 4, 8)]

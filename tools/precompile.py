@@ -72,7 +72,8 @@ def main() -> int:
 
     if args.diffusion:
         from neural_enhanced_super_resolution_tpu.models.diffusion import (
-            CLIPTextConfig, UNetConfig, VAEConfig)
+            CLIPTextConfig, DDIMScheduler, DDPMScheduler, UNetConfig,
+            VAEConfig)
         from neural_enhanced_super_resolution_tpu.models.diffusion.pipeline \
             import UpscalePipeline
         from neural_enhanced_super_resolution_tpu.models.diffusion.specs \
@@ -84,7 +85,8 @@ def main() -> int:
             random_params(unet_param_shapes(ucfg), key, scale=0.02), ucfg,
             random_params(vae_param_shapes(vcfg, decoder_only=False), key,
                           scale=0.02), vcfg,
-            random_params(clip_param_shapes(tcfg), key, scale=0.02), tcfg)
+            random_params(clip_param_shapes(tcfg), key, scale=0.02), tcfg,
+            DDIMScheduler(), DDPMScheduler())
         img = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
         t0 = time.perf_counter()
         pipe("a photo", img, num_inference_steps=20)
