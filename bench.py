@@ -8,9 +8,13 @@ Method: the flagship configuration from BASELINE.md — full-size RRDBNet
 (num_feat=64, num_block=23, 12-channel quirk mode exactly as the reference
 constructs it, /root/reference/nesr/nesr.py:216) runs the batched-tile path
 (parallel/tiling.process_tiled) over a 2048x2048 input with 256-px tiles and
-10-px halos in bf16 (halo 10 = the reference tiler's default padding,
-/root/reference/nesr/nesr.py:311; measured quality-identical to halo 16,
-benchmarks/RESULTS.md round-2 geometry sweep). Steady-state timing after a warmup pass; throughput is
+10-px halos in bf16. Halo 10 is this framework's TPU production default
+(runtime/config.py device overlay), so the bench measures the configuration
+the pipeline actually runs. Note the reference itself effectively runs
+padding=16 — its call sites always pass 16 (nesr.py:807; 10 is only an
+unused signature default at :311) — but the halo choice is measured
+quality-identical across [6, 16] (benchmarks/RESULTS.md round-2 PSNR
+sweep). Steady-state timing after a warmup pass; throughput is
 *input* megapixels per second on one chip. vs_baseline is the ratio against
 the 30 MP/s/chip north-star target (the reference publishes no numbers —
 BASELINE.md).

@@ -26,11 +26,12 @@ gracefully instead of erroring.
 
 Flash-attention interaction: on TPU, long latent self-attention normally
 routes into the Pallas flash kernel (kernels/attention.py attention_auto),
-a custom call the SPMD partitioner cannot split over the tp axis. TP
-deployments must set ``NESR_DISABLE_FLASH_ATTENTION=1`` so attention runs
-as XLA einsums, which GSPMD partitions cleanly over the head-sharded
-dimension. The XLA path costs more HBM for attention scores but the tp-way
-head split reduces per-chip sequence memory proportionally.
+a custom call the SPMD partitioner cannot split over the tp axis.
+``shard_transformer_params`` therefore sets ``NESR_DISABLE_FLASH_ATTENTION=1``
+automatically when tp > 1 on TPU, so attention runs as XLA einsums, which
+GSPMD partitions cleanly over the head-sharded dimension. The XLA path costs
+more HBM for attention scores but the tp-way head split reduces per-chip
+sequence memory proportionally.
 """
 
 from __future__ import annotations
@@ -102,11 +103,18 @@ def shard_transformer_params(params: dict, mesh: Mesh,
     if mesh.shape[axis_name] > 1 and \
             os.environ.get("NESR_DISABLE_FLASH_ATTENTION") != "1" and \
             any(d.platform == "tpu" for d in jax.devices()):
+        # Auto-route attention to the XLA einsum path: the Pallas flash
+        # custom call cannot be partitioned over the tp axis, and relying on
+        # the operator to read a warning risks a compile-time SPMD failure
+        # (ADVICE round 2). attention_auto reads this env var at trace time;
+        # params are always sharded before the UNet is traced, so the switch
+        # is in place for every TP execution.
+        os.environ["NESR_DISABLE_FLASH_ATTENTION"] = "1"
         import logging
-        logging.getLogger("nesr").warning(
-            "TP over %d devices on TPU: set NESR_DISABLE_FLASH_ATTENTION=1 "
-            "— the Pallas flash-attention custom call cannot be partitioned "
-            "over the tp axis (see parallel/tensor.py docstring)",
+        logging.getLogger("nesr").info(
+            "TP over %d devices on TPU: flash attention auto-disabled — "
+            "attention runs as XLA einsums, which GSPMD shards over the "
+            "head dimension (see parallel/tensor.py docstring)",
             mesh.shape[axis_name])
     out = {}
     for name, val in params.items():

@@ -53,6 +53,12 @@ def default_config() -> dict[str, Any]:
                 # spot (benchmarks/RESULTS.md: tile 512 runs 30% slower and
                 # its batch-16 program over-allocates HBM).
                 "max_tile_size": 256,
+                # The reference's call sites run padding=16 (nesr.py:807);
+                # halo is quality-indistinguishable in [6, 16] (RESULTS.md
+                # round-2 PSNR sweep) and 10 is ~6% faster, so the TPU
+                # production default is 10. Set tile_halo=16 explicitly for
+                # reference-exact geometry (e.g. with parity_tiling).
+                "tile_halo": 10,
                 "half_precision": True,    # bf16 on TPU
             },
             "cpu": {

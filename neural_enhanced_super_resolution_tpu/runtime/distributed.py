@@ -77,10 +77,13 @@ def init_multihost(coordinator_address: str | None = None,
                 os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
             try:
                 jax.distributed.initialize()
-            except RuntimeError as e:
-                # Backend already initialised (e.g. a single-host session in
-                # a pod-flavoured environment): stay single-process. Normal
-                # here, so keep it out of the default log stream.
+            except Exception as e:  # noqa: BLE001 — ladder: stay single-host
+                # RuntimeError: backend already initialised (e.g. a
+                # single-host session in a pod-flavoured environment).
+                # Anything else (ValueError from malformed cluster metadata,
+                # connection errors) must ALSO degrade to single-host rather
+                # than break SuperResolutionPipeline.__init__ — the explicit
+                # coordinator path below already does (ADVICE round 2).
                 logger.debug("multi-host autodetection skipped: %s", e)
                 return False
             _initialized = True
@@ -118,10 +121,12 @@ def make_hybrid_mesh(ici_axes: dict[str, int] | None = None,
     ``ici_axes`` maps inner axis names to sizes (product must equal the local
     device count; defaults to one axis "dp" = all local devices). The outer
     ``dcn_axis`` has size jax.process_count() — 1 on a single host, so the
-    same mesh code runs unchanged everywhere. Device order follows
-    process-major order, which puts each process's devices contiguous on the
-    inner axes: inner-axis collectives (halo ppermute, TP psum) ride ICI and
-    only the outer axis crosses DCN.
+    same mesh code runs unchanged everywhere. Inner-axis device order follows
+    the physical ICI topology via mesh_utils.create_hybrid_device_mesh, so
+    inner-axis collectives (halo ppermute, TP psum) traverse neighbour ICI
+    links on 2D/3D torus slices (ADVICE round 2: a plain (process, id) sort
+    is correct but can route rings over non-neighbour links). Falls back to
+    process-major id order on backends without topology info.
     """
     n_local = jax.local_device_count()
     n_proc = jax.process_count()
@@ -131,8 +136,19 @@ def make_hybrid_mesh(ici_axes: dict[str, int] | None = None,
     if int(np.prod(sizes)) != n_local:
         raise ValueError(
             f"ici_axes {ici_axes} product != local device count {n_local}")
-    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
-    arr = np.array(devs).reshape((n_proc, *sizes))
+    try:
+        from jax.experimental import mesh_utils
+        # Same-rank shapes that multiply elementwise to the global mesh:
+        # the dcn factor lives on the leading axis, ici factors on the rest.
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, *sizes), (n_proc,) + (1,) * len(sizes),
+            devices=jax.devices())
+        arr = arr.reshape((n_proc, *sizes))
+    except Exception as e:  # noqa: BLE001 — CPU meshes / old jax versions
+        logger.debug("create_hybrid_device_mesh unavailable (%s); "
+                     "using process-major id order", e)
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        arr = np.array(devs).reshape((n_proc, *sizes))
     return Mesh(arr, (dcn_axis, *ici_axes.keys()))
 
 
