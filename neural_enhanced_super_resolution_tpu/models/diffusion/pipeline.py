@@ -60,6 +60,24 @@ class UpscalePipeline:
         self.tokenizer = tokenizer
         self.compute_dtype = compute_dtype
         self.max_noise_level = max_noise_level
+        self.device = None  # None = default placement
+
+    def to_device(self, device) -> "UpscalePipeline":
+        """Pin all params to one device (stage-overlap placement).
+
+        The orchestrator splits the device list so the ESRGAN tile batch and
+        this denoise loop run on disjoint chips concurrently
+        (parallel/overlap.split_mesh; pipeline._parallel_layout). Committing
+        the params here makes every jitted program in __call__ execute on
+        ``device``; uncommitted inputs follow the committed operands.
+        """
+        put = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.device_put(a, device), t)
+        self.unet_params = put(self.unet_params)
+        self.vae_params = put(self.vae_params)
+        self.text_params = put(self.text_params)
+        self.device = device
+        return self
 
     # ------------------------------------------------------------- text ----
 

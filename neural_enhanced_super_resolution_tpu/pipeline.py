@@ -68,7 +68,74 @@ class SuperResolutionPipeline:
         os.makedirs(self.config["output_dir"], exist_ok=True)
         self.models: dict = {}
         self.timer = StageTimer()
+        self._dp_state: dict | None = None  # lazy multi-device layout
         self._init_models()
+
+    # --------------------------------------------------------- parallelism --
+
+    def _parallel_layout(self) -> dict:
+        """Resolve the multi-device layout once (lazy, host-side dispatch).
+
+        config["data_parallel"]: "auto" (default) engages tile-batch DP over
+        every visible device when there is more than one; "off" (or 0/1)
+        forces the single-device path; an int caps the device count. With the
+        diffusion branch enabled and stage_overlap on, the device list is
+        split (parallel/overlap.split_mesh): ESRGAN's tile batch is sharded
+        over the large subset while the diffusion denoise loop owns the
+        remainder, so the two branches genuinely execute concurrently
+        (the reference runs them sequentially, nesr.py:552-584).
+
+        Returns {"mesh": Mesh | None, "diffusion_device": Device | None}.
+        """
+        if self._dp_state is not None:
+            return self._dp_state
+        mode = self.config.get("data_parallel", "auto")
+        n = jax.device_count()
+        if mode in ("off", False, None, 0, 1):
+            want = 1
+        elif mode == "auto":
+            want = n
+        else:
+            want = min(int(mode), n)
+        if want <= 1:
+            self._dp_state = {"mesh": None, "diffusion_device": None}
+            return self._dp_state
+        from neural_enhanced_super_resolution_tpu.parallel.overlap import (
+            split_mesh)
+        devices = jax.devices()[:want]
+        if self.config["use_diffusion"] and self.config.get(
+                "stage_overlap", True):
+            mesh, diff_devs = split_mesh(devices)
+            self._dp_state = {"mesh": mesh, "diffusion_device": diff_devs[-1]}
+            logger.info("Data parallelism: %d-device tile mesh + diffusion "
+                        "on %s", mesh.devices.size, diff_devs[-1])
+        else:
+            from neural_enhanced_super_resolution_tpu.parallel.mesh import (
+                make_mesh)
+            self._dp_state = {"mesh": make_mesh(want),
+                              "diffusion_device": None}
+            logger.info("Data parallelism: %d-device tile mesh", want)
+        return self._dp_state
+
+    def _run_tiled(self, model_fn, image, tile_size: int, halo: int,
+                   scale: int):
+        """Tile-batch execution: sharded over the DP mesh when one is active,
+        single-device batched otherwise. Falls back to the single-device path
+        if the sharded dispatch fails (graceful-degradation ladder)."""
+        mesh = self._parallel_layout()["mesh"]
+        if mesh is not None:
+            from neural_enhanced_super_resolution_tpu.parallel.sharded import (
+                process_tiled_sharded)
+            try:
+                return process_tiled_sharded(
+                    model_fn, image, mesh, tile_size=tile_size, halo=halo,
+                    scale=scale)
+            except Exception as exc:  # noqa: BLE001 - ladder
+                logger.warning("Sharded tile path failed (%s); falling back "
+                               "to single-device tiling", exc)
+        return process_tiled(model_fn, image, tile_size=tile_size, halo=halo,
+                             scale=scale,
+                             batch_tiles=self.config.get("tile_batch"))
 
     # ------------------------------------------------------------- models --
 
@@ -186,6 +253,12 @@ class SuperResolutionPipeline:
                 self.models["diffusion"] = load_upscale_pipeline(
                     cfg.get("diffusion_model_path"),
                     compute_dtype=cfg["precision"])
+                diff_dev = self._parallel_layout()["diffusion_device"]
+                if diff_dev is not None:
+                    # Stage overlap: pin the denoise loop to the split-mesh
+                    # remainder so it runs concurrently with the ESRGAN
+                    # tile batch on the DP mesh.
+                    self.models["diffusion"].to_device(diff_dev)
                 logger.info("Stable Diffusion upscaler loaded successfully")
             except Exception as exc:
                 logger.error("Error loading Stable Diffusion upscaler: %s", exc)
@@ -289,11 +362,10 @@ class SuperResolutionPipeline:
         tile = min(int(self.config["max_tile_size"]), 256)
         if max(h, w) <= 2 * tile:
             return self._esrgan_batch_forward(image[None], three_channel)[0]
-        return process_tiled(
+        return self._run_tiled(
             lambda tiles: self._esrgan_batch_forward(tiles, three_channel),
             image, tile_size=tile, halo=self.config.get("tile_halo", 16),
-            scale=self._esrgan_out_scale(),
-            batch_tiles=self.config.get("tile_batch"))
+            scale=self._esrgan_out_scale())
 
     def _apply_esrgan(self, image):
         """Device-aware dispatch with the reference's fallback ladder
@@ -362,14 +434,14 @@ class SuperResolutionPipeline:
             return jnp.asarray(process_with_tiling_parity(
                 lambda t: np.asarray(proc(t)), np.asarray(image),
                 upscale_factor=upscale, tile_size=tile_size, padding=padding))
-        # TPU-fast path: batched uniform tiles, then one Lanczos resize to the
+        # TPU-fast path: batched uniform tiles (sharded over the DP mesh when
+        # multiple devices are visible), then one Lanczos resize to the
         # reference's canvas geometry (the reference shrinks each 4x tile into
         # a 2x canvas region; a single full-image resize is the fused form).
-        out4 = process_tiled(
+        out4 = self._run_tiled(
             lambda tiles: self._esrgan_batch_forward(tiles, three_channel),
             image, tile_size=tile_size, halo=padding,
-            scale=self._esrgan_out_scale(),
-            batch_tiles=self.config.get("tile_batch"))
+            scale=self._esrgan_out_scale())
         h, w = int(image.shape[0]), int(image.shape[1])
         target = (int(w * upscale), int(h * upscale))
         if out4.shape[1] == target[0] and out4.shape[0] == target[1]:
@@ -470,9 +542,13 @@ class SuperResolutionPipeline:
 
             if self.config["use_diffusion"] and "diffusion" in self.models:
                 # Stage-level PP (SURVEY §2c): the ESRGAN dispatch above is
-                # still in flight — with multiple chips the tile batch runs
-                # on its device subset while the denoise loop executes here
-                # (parallel/overlap.py); blocking happens at the ensemble.
+                # still in flight. When _parallel_layout() split the device
+                # list, the tile batch is sharded over the DP mesh and the
+                # diffusion params are pinned to the remainder device
+                # (_load_models -> UpscalePipeline.to_device), so the two
+                # branches execute concurrently on disjoint chips; blocking
+                # happens at the ensemble. On one device both dispatches
+                # serialise on the same chip.
                 logger.info("Applying diffusion-based upscaling...")
                 self._callback("Diffusion", iteration, iterations,
                                "Applying diffusion-based upscaling with "

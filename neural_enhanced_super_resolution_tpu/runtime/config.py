@@ -77,6 +77,13 @@ def default_config() -> dict[str, Any]:
         # diffusion branch runs (disjoint device subsets on a mesh —
         # parallel/overlap.py; SURVEY.md §2c PP row).
         "stage_overlap": True,
+        # Multi-device execution from the product entry points: "auto"
+        # shards the ESRGAN tile batch over every visible device (and, with
+        # use_diffusion + stage_overlap, splits the device list so the
+        # denoise loop runs concurrently on its own chips —
+        # pipeline._parallel_layout). "off" forces single-device; an int
+        # caps the device count. Single-chip hosts are unaffected.
+        "data_parallel": "auto",
         # 16 tiles per device batch: the measured v5e sweet spot, and an HBM
         # guard (None = all tiles at once OOMs on 4K+ images).
         "tile_batch": 16,

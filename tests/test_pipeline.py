@@ -138,6 +138,43 @@ def test_tiled_matches_untiled_quality(tmp_path, tiny_ckpt, test_image):
     assert float(psnr(tiled, whole2)) > 30.0
 
 
+def test_data_parallel_auto_matches_off(tmp_path, tiny_ckpt, test_image):
+    """VERDICT round 2 #2: multi-device execution must be reachable from the
+    product entry point. On the 8-virtual-device mesh, enhance_array with
+    data_parallel="auto" (tile batch sharded over the mesh) must equal the
+    single-device path bit-for-bit."""
+    import jax
+    assert jax.device_count() >= 8  # conftest virtual mesh
+    img = test_image[:96, :96]
+    kw = dict(adaptive_sharpening=False, enable_tiling=True,
+              max_megapixels=0.001, max_tile_size=48)
+    out_off = _mk_pipeline(tmp_path, tiny_ckpt, data_parallel="off",
+                           **kw).enhance_array(img)
+    pipe = _mk_pipeline(tmp_path, tiny_ckpt, data_parallel="auto", **kw)
+    out_auto = pipe.enhance_array(img)
+    assert pipe._parallel_layout()["mesh"] is not None  # DP actually engaged
+    assert out_auto.shape == out_off.shape
+    assert np.array_equal(out_auto, out_off)
+
+
+def test_parallel_layout_splits_for_diffusion_overlap(tmp_path, tiny_ckpt):
+    """With use_diffusion + stage_overlap on a multi-device host, the layout
+    reserves a remainder device for the denoise loop (real stage overlap)."""
+    import jax
+    pipe = _mk_pipeline(tmp_path, tiny_ckpt, use_diffusion=True)
+    layout = pipe._parallel_layout()
+    assert layout["mesh"] is not None
+    assert layout["diffusion_device"] is not None
+    mesh_devs = set(d.id for d in layout["mesh"].devices.flat)
+    assert layout["diffusion_device"].id not in mesh_devs
+    assert len(mesh_devs) + 1 <= jax.device_count()
+
+    # data_parallel="off" keeps the single-device layout
+    pipe_off = _mk_pipeline(tmp_path, tiny_ckpt, data_parallel="off")
+    assert pipe_off._parallel_layout() == {"mesh": None,
+                                           "diffusion_device": None}
+
+
 def test_config_none_does_not_crash():
     # The reference crashes when config=None reaches the device overlay
     # (nesr.py:76); we accept it (SURVEY.md §7 reference bugs).
