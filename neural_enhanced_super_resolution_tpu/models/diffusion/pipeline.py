@@ -108,6 +108,40 @@ class UpscalePipeline:
         return clip_text_forward(self.text_params, ids, self.text_cfg,
                                  self.compute_dtype)
 
+    # ------------------------------------------------------------ trace ----
+
+    def trace_latents(self, prompt: str, image: np.ndarray,
+                      image_noise: np.ndarray, init_latents: np.ndarray,
+                      noise_level: int = 20, num_inference_steps: int = 20,
+                      guidance_scale: float = 7.5
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """Deterministic replay for the reference-parity harness
+        (tools/compare_reference.py --stack diffusion): every noise draw is
+        INJECTED instead of PRNG-generated, so the per-step latents are
+        directly comparable against a recording of the reference stack
+        (diffusers StableDiffusionUpscalePipeline components,
+        /root/reference/nesr/nesr.py:999-1025 call params).
+
+        image: RGB uint8 (H, W, 3); image_noise: (H, W, 3) f32 standard
+        normal added to the conditioning image at ``noise_level``;
+        init_latents: (H, W, 4) f32 standard normal. DDIM (eta=0) has no
+        per-step noise, so these two tensors fully determine the trajectory.
+
+        Returns (latents_per_step (T, H, W, 4) f32, final RGB uint8).
+        """
+        embeds = self.encode_prompt(prompt)
+        img = jnp.asarray(image).astype(jnp.float32) / 127.5 - 1.0
+        timesteps = jnp.asarray(
+            self.scheduler.timesteps(num_inference_steps), jnp.int32)
+        lats, out = _upscale_trace_jit(
+            self.unet_params, self.vae_params, img[None], embeds, timesteps,
+            jnp.int32(noise_level), jnp.float32(guidance_scale),
+            jnp.asarray(image_noise, jnp.float32)[None],
+            jnp.asarray(init_latents, jnp.float32)[None],
+            self.unet_cfg, self.vae_cfg, self.scheduler,
+            self.low_res_scheduler, self.compute_dtype)
+        return np.asarray(lats[:, 0]), np.asarray(out[0])
+
     # ------------------------------------------------------------- call ----
 
     def __call__(self, prompt: str, image: np.ndarray, noise_level: int = 20,
@@ -178,6 +212,43 @@ def _upscale_jit(unet_params, vae_params, image, embeds, timesteps,
                          vae_cfg, compute_dtype)
     out = jnp.clip((decoded + 1.0) * 127.5, 0.0, 255.0)
     return jnp.round(out).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet_cfg", "vae_cfg", "scheduler", "low_res_scheduler",
+                     "compute_dtype"))
+def _upscale_trace_jit(unet_params, vae_params, image, embeds, timesteps,
+                       noise_level, guidance_scale, image_noise, init_latents,
+                       unet_cfg: UNetConfig, vae_cfg: VAEConfig, scheduler,
+                       low_res_scheduler, compute_dtype: str):
+    """_upscale_jit with injected noise and per-step latent collection
+    (lax.scan instead of fori_loop). DDIM-only: the parity harness records
+    the published checkpoint's DDIM trajectory, which is noise-free past the
+    two injected tensors."""
+    n = image.shape[0]
+    noisy_img = low_res_scheduler.add_noise(image, image_noise, noise_level)
+    img2 = jnp.concatenate([noisy_img, noisy_img], axis=0)
+    nl2 = jnp.full((2 * n,), noise_level, jnp.int32)
+    num_steps = timesteps.shape[0]
+
+    def step(latents, i):
+        t = timesteps[i]
+        prev_t = jnp.where(i + 1 < num_steps, timesteps[i + 1], -1)
+        lat2 = jnp.concatenate([latents, latents], axis=0)
+        unet_in = jnp.concatenate([lat2, img2], axis=-1)
+        eps = unet_forward(unet_params, unet_in, t, embeds, nl2, unet_cfg,
+                           compute_dtype)
+        eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
+        eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+        latents = scheduler.step(eps, t, prev_t, latents)
+        return latents, latents
+
+    latents, lats = lax.scan(step, init_latents, jnp.arange(num_steps))
+    decoded = vae_decode(vae_params, latents / vae_cfg.scaling_factor,
+                         vae_cfg, compute_dtype)
+    out = jnp.clip((decoded + 1.0) * 127.5, 0.0, 255.0)
+    return lats, jnp.round(out).astype(jnp.uint8)
 
 
 def load_upscale_pipeline(path: str | None = None,
