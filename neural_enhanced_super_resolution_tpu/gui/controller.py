@@ -190,14 +190,21 @@ class EnhancementWorker:
                 self.on_progress(stage, iteration, total, message)
 
     def _run(self):
+        from neural_enhanced_super_resolution_tpu.pipeline import (
+            EnhancementCancelled)
         try:
             self.pipeline.config["progress_callback"] = self._progress
+            # Mid-stage cancellation: the pipeline polls this between tile
+            # batches (parallel/tiling.process_tiled) and iterations, so
+            # stop() interrupts a long tile sweep at the next chunk
+            # boundary instead of waiting for the stage to finish.
+            self.pipeline.config["cancel_check"] = lambda: not self.running
             if self.on_image:
                 self.pipeline.config["image_callback"] = self.on_image
             path = self.pipeline.enhance_image(self.image_path, self.prompt)
             if self.running and self.on_finished:
                 self.on_finished(path)
-        except _Cancelled:
+        except (_Cancelled, EnhancementCancelled):
             logger.info("Enhancement cancelled")
         except Exception as exc:  # noqa: BLE001 - surfaced to the UI
             logger.error("Enhancement failed: %s", exc)

@@ -34,7 +34,7 @@ from neural_enhanced_super_resolution_tpu.ops.resize import resize as _resize
 logger = logging.getLogger("nesr.tiling")
 
 __all__ = ["pad_to_grid", "extract_tiles", "stitch_tiles", "process_tiled",
-           "process_with_tiling_parity"]
+           "process_with_tiling_parity", "TilingCancelled"]
 
 
 def pad_to_grid(image: jax.Array, tile: int) -> tuple[jax.Array, int, int]:
@@ -84,9 +84,19 @@ def stitch_tiles(tiles: jax.Array, ny: int, nx: int, tile_out: int,
     return core.reshape(ny * tile_out, nx * tile_out, c)
 
 
+class TilingCancelled(Exception):
+    """Raised between tile-batch chunks when the caller's cancel_check fires.
+
+    Cooperative mid-stage cancellation (the reference's GUI stop is
+    cooperative-only and takes effect at thread end, nesr/gui/app.py:136-138;
+    here a long tile sweep aborts at the next chunk boundary)."""
+
+
 def process_tiled(model_fn: Callable[[jax.Array], jax.Array], image,
                   tile_size: int = 512, halo: int = 16, scale: int = 2,
-                  batch_tiles: int | None = None) -> jax.Array:
+                  batch_tiles: int | None = None,
+                  cancel_check: Callable[[], bool] | None = None
+                  ) -> jax.Array:
     """Batched-uniform tiled processing (the TPU-fast path).
 
     Args:
@@ -99,6 +109,8 @@ def process_tiled(model_fn: Callable[[jax.Array], jax.Array], image,
         scale: model's spatial scale factor (output crop uses scale*halo).
         batch_tiles: process at most this many tiles per model_fn call
             (bounds peak HBM); None = all tiles in one batch.
+        cancel_check: optional callable polled before each chunk; a True
+            return raises TilingCancelled (cooperative mid-stage stop).
 
     Returns:
         (H*scale, W*scale, C') on-device array.
@@ -131,6 +143,9 @@ def process_tiled(model_fn: Callable[[jax.Array], jax.Array], image,
         # Fixed chunk size keeps a single jit specialization; the tail chunk
         # is padded up to batch_tiles and cropped after.
         for start in range(0, n, batch_tiles):
+            if cancel_check is not None and cancel_check():
+                raise TilingCancelled(
+                    f"cancelled at tile {start}/{n}")
             chunk = tiles[start:start + batch_tiles]
             valid = chunk.shape[0]
             if valid < batch_tiles:

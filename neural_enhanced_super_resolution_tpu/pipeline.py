@@ -37,7 +37,7 @@ from neural_enhanced_super_resolution_tpu.ops.enhance import (
     adaptive_sharpen, ensemble, masked_sharpen, preprocess)
 from neural_enhanced_super_resolution_tpu.ops.resize import resize
 from neural_enhanced_super_resolution_tpu.parallel.tiling import (
-    process_tiled, process_with_tiling_parity)
+    TilingCancelled, process_tiled, process_with_tiling_parity)
 from neural_enhanced_super_resolution_tpu.runtime.config import merge_config
 from neural_enhanced_super_resolution_tpu.runtime.device import (
     default_compute_dtype, determine_device,
@@ -46,7 +46,14 @@ from neural_enhanced_super_resolution_tpu.runtime.profiler import StageTimer
 
 logger = logging.getLogger("nesr")
 
-__all__ = ["SuperResolutionPipeline"]
+__all__ = ["SuperResolutionPipeline", "EnhancementCancelled"]
+
+
+class EnhancementCancelled(Exception):
+    """Raised by enhance_array/enhance_image when config["cancel_check"]
+    fires. Unlike every other exception in the pipeline, cancellation is
+    NEVER swallowed by the graceful-degradation ladder — it propagates to
+    the caller (e.g. gui/controller.EnhancementWorker.stop)."""
 
 
 class SuperResolutionPipeline:
@@ -135,7 +142,8 @@ class SuperResolutionPipeline:
                                "to single-device tiling", exc)
         return process_tiled(model_fn, image, tile_size=tile_size, halo=halo,
                              scale=scale,
-                             batch_tiles=self.config.get("tile_batch"))
+                             batch_tiles=self.config.get("tile_batch"),
+                             cancel_check=self._cancel_check())
 
     # ------------------------------------------------------------- models --
 
@@ -285,6 +293,17 @@ class SuperResolutionPipeline:
         if cb:
             cb(stage, iteration, total, message)
 
+    def _cancel_check(self):
+        """The cancel poll handed into long-running stages; returns a
+        callable or None. config["cancel_check"] is any zero-arg callable
+        returning truthy to cancel (e.g. threading.Event.is_set)."""
+        return self.config.get("cancel_check")
+
+    def _check_cancelled(self):
+        cc = self._cancel_check()
+        if cc is not None and cc():
+            raise EnhancementCancelled("enhancement cancelled")
+
     @staticmethod
     def _bicubic_upscale(image, factor):
         h, w = image.shape[:2]
@@ -421,6 +440,9 @@ class SuperResolutionPipeline:
                 if name != "primary":
                     logger.info("Falling back to %s", name)
                 return rung()
+            except (EnhancementCancelled, TilingCancelled):
+                # cancellation is not a failure: never ladder past it
+                raise EnhancementCancelled("cancelled during ESRGAN")
             except Exception as exc:  # noqa: BLE001 - ladder by design
                 logger.warning("ESRGAN %s failed: %s", name, exc)
         logger.warning("All ESRGAN methods failed, using bicubic upscaling")
@@ -508,6 +530,7 @@ class SuperResolutionPipeline:
         current = jnp.asarray(image)
         for iteration in range(iterations):
             t0 = time.time()
+            self._check_cancelled()
             logger.info("Starting iteration %d/%d", iteration + 1, iterations)
             self._callback("Enhancement", iteration, iterations,
                            f"Starting iteration {iteration+1}/{iterations}")
