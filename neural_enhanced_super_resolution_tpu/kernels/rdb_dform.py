@@ -156,11 +156,17 @@ def _pad1(x: jax.Array) -> jax.Array:
     return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
-def rdb_dform_reference(t: jax.Array, wd: dict, gc: int) -> jax.Array:
+def rdb_dform_reference(t: jax.Array, wd: dict, gc: int,
+                        v2: bool = False) -> jax.Array:
     """XLA reference of the D-form fused RDB (the kernel's exactness oracle).
 
     t: (N, A, W, 2C) rows-s2d bf16. wd: dform_rdb_weights output. Uses the
     same bf16 materialisation points as the kernel. Returns same shape/dtype.
+
+    v2=True models the round-3 kernel variant: every conv output is rounded
+    to bf16 BEFORE the assembly adds (one K-concatenated dot with
+    preferred_element_type=bfloat16) — exactly the XLA production trunk's
+    rounding points (_rdb_fused casts each c_i to compute_dtype).
     """
     g2 = 2 * gc
     w = t.shape[2]
@@ -169,32 +175,38 @@ def rdb_dform_reference(t: jax.Array, wd: dict, gc: int) -> jax.Array:
     def lrelu(x):
         return jnp.where(x >= 0, x, 0.2 * x)
 
-    c0 = _conv_dform(_pad1(t), wd["w0"], w)
+    def conv(x, wk):
+        out = _conv_dform(_pad1(x), wk, w)
+        if v2:
+            out = out.astype(jnp.bfloat16).astype(jnp.float32)
+        return out
+
+    c0 = conv(t, wd["w0"])
     x1 = lrelu(c0[..., 0:g2] + b[0:g2]).astype(jnp.bfloat16)
     a2 = c0[..., g2:2 * g2].astype(jnp.bfloat16)
     a3 = c0[..., 2 * g2:3 * g2].astype(jnp.bfloat16)
     a4 = c0[..., 3 * g2:4 * g2].astype(jnp.bfloat16)
     a5 = c0[..., 4 * g2:].astype(jnp.bfloat16)
 
-    c1 = _conv_dform(_pad1(x1), wd["w1"], w)
+    c1 = conv(x1, wd["w1"])
     x2 = lrelu(a2.astype(jnp.float32) + c1[..., 0:g2]
                + b[g2:2 * g2]).astype(jnp.bfloat16)
     a3 = (a3.astype(jnp.float32) + c1[..., g2:2 * g2]).astype(jnp.bfloat16)
     a4 = (a4.astype(jnp.float32) + c1[..., 2 * g2:3 * g2]).astype(jnp.bfloat16)
     a5 = (a5.astype(jnp.float32) + c1[..., 3 * g2:]).astype(jnp.bfloat16)
 
-    c2 = _conv_dform(_pad1(x2), wd["w2"], w)
+    c2 = conv(x2, wd["w2"])
     x3 = lrelu(a3.astype(jnp.float32) + c2[..., 0:g2]
                + b[2 * g2:3 * g2]).astype(jnp.bfloat16)
     a4 = (a4.astype(jnp.float32) + c2[..., g2:2 * g2]).astype(jnp.bfloat16)
     a5 = (a5.astype(jnp.float32) + c2[..., 2 * g2:]).astype(jnp.bfloat16)
 
-    c3 = _conv_dform(_pad1(x3), wd["w3"], w)
+    c3 = conv(x3, wd["w3"])
     x4 = lrelu(a4.astype(jnp.float32) + c3[..., 0:g2]
                + b[3 * g2:4 * g2]).astype(jnp.bfloat16)
     a5 = (a5.astype(jnp.float32) + c3[..., g2:]).astype(jnp.bfloat16)
 
-    c4 = _conv_dform(_pad1(x4), wd["w4"], w)
+    c4 = conv(x4, wd["w4"])
     x5 = (a5.astype(jnp.float32) + c4
           + b[4 * g2:])
     return (t.astype(jnp.float32) + 0.2 * x5).astype(t.dtype)
@@ -267,11 +279,21 @@ def from_dform(x: jax.Array, a: int, w: int) -> jax.Array:
     return x[:, IOFF:IOFF + a, 8:8 + w, :]
 
 
-def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps):
+def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
     """Kernel factory. c = trunk feats (64), g = growth (32).
 
     Grid (n, nwb, nsteps): column blocks of wbw content columns each, with a
     16-column halo delivered as two extra 8-wide pipelined input blocks.
+
+    variant "v1": three column-shifted dots per N<=128 chunk, f32 outputs,
+    f32 cross-dot adds (round-2 kernel; 1 bf16 ulp vs oracle, bounded by
+    ~30 MB/step of f32 VMEM materialisation).
+    variant "v2" (round-3 retry, RESULTS.md roadmap item a): ONE
+    K-concatenated dot per stage over K = 12*Cin with
+    preferred_element_type=bfloat16 — the MXU accumulates the whole window
+    reduction in f32 and rounds once, matching the XLA production trunk's
+    rounding points (_rdb_fused), and the per-step f32 traffic drops to a
+    single bf16 output per stage plus the lhs builds.
     """
     c2, g2 = 2 * c, 2 * g
     wbp = wbw + 16                       # per-block buffer width
@@ -369,46 +391,100 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps):
                     ak[m - k:m - k + bh, lo:hi, :].astype(jnp.float32)
                     + slab).astype(jnp.bfloat16)
 
+        def kc(dk, wk):
+            """v2: one K-concatenated dot per stage, bf16 output.
+
+            lhs = [shift0 | shift1 | shift2] along K (matches the
+            (3, 4Cin, N) -> (12Cin, N) weight reshape); the MXU reduces all
+            of K in f32 and rounds once to bf16 — no cross-dot f32 adds."""
+            kdim = dk.shape[-1]
+            m = bh * e
+            lhs = jnp.concatenate(
+                [dk[0:bh, dc:dc + e, :].reshape(m, kdim) for dc in range(3)],
+                axis=1)
+            out = jax.lax.dot_general(
+                lhs, wk[:], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.bfloat16)
+            return out.reshape(bh, e, wk.shape[-1])
+
         bias = b_ref[0]
+        f32 = jnp.float32
 
-        # ---- stage 1: conv0 (x -> all slabs), N = 12g in 3 chunks
-        c01 = conv(d0, w0, 1, 0, 4 * g)                  # [x1 | x2]
-        emit_stage(1, lrelu(c01[:, :, 0:g2] + bias[0:g2]))
-        slot_add(2, 1, c01[:, :, g2:2 * g2], True)
-        c02 = conv(d0, w0, 1, 4 * g, 8 * g)              # [x3 | x4]
-        slot_add(3, 1, c02[:, :, 0:g2], True)
-        slot_add(4, 1, c02[:, :, g2:2 * g2], True)
-        c03 = conv(d0, w0, 1, 8 * g, 12 * g)             # [x5]
-        slot_add(5, 1, c03, True)
+        if variant == "v2":
+            # ---- stage 1: conv0 (x -> all slabs), one dot N = 12g
+            s0 = kc(d0, w0)
+            emit_stage(1, lrelu(s0[:, :, 0:g2].astype(f32) + bias[0:g2]))
+            slot_add(2, 1, s0[:, :, g2:2 * g2], True)
+            slot_add(3, 1, s0[:, :, 2 * g2:3 * g2], True)
+            slot_add(4, 1, s0[:, :, 3 * g2:4 * g2], True)
+            slot_add(5, 1, s0[:, :, 4 * g2:], True)
 
-        # ---- stage 2: conv1 (x1 -> x2..x5), N = 10g in 2 chunks
-        c11 = conv(d1, w1, 2, 0, 4 * g)                  # [x2 | x3]
-        x2 = lrelu(a2[0:bh, 1:wbp - 1, :].astype(jnp.float32)
-                   + c11[:, :, 0:g2] + bias[g2:2 * g2])
-        emit_stage(2, x2)
-        slot_add(3, 2, c11[:, :, g2:2 * g2], False)
-        c12 = conv(d1, w1, 2, 4 * g, 10 * g)             # [x4 | x5]
-        slot_add(4, 2, c12[:, :, 0:g2], False)
-        slot_add(5, 2, c12[:, :, g2:], False)
+            # ---- stage 2: conv1 (x1 -> x2..x5), one dot N = 10g
+            s1 = kc(d1, w1)
+            emit_stage(2, lrelu(a2[0:bh, 1:wbp - 1, :].astype(f32)
+                                + s1[:, :, 0:g2].astype(f32)
+                                + bias[g2:2 * g2]))
+            slot_add(3, 2, s1[:, :, g2:2 * g2], False)
+            slot_add(4, 2, s1[:, :, 2 * g2:3 * g2], False)
+            slot_add(5, 2, s1[:, :, 3 * g2:], False)
 
-        # ---- stage 3: conv2 (x2 -> x3..x5), N = 8g in 2 chunks
-        c21 = conv(d2, w2, 3, 0, 4 * g)                  # [x3 | x4]
-        x3 = lrelu(a3[0:bh, 1:wbp - 1, :].astype(jnp.float32)
-                   + c21[:, :, 0:g2] + bias[2 * g2:3 * g2])
-        emit_stage(3, x3)
-        slot_add(4, 3, c21[:, :, g2:2 * g2], False)
-        c22 = conv(d2, w2, 3, 4 * g, 8 * g)              # [x5]
-        slot_add(5, 3, c22, False)
+            # ---- stage 3: conv2 (x2 -> x3..x5), one dot N = 8g
+            s2 = kc(d2, w2)
+            emit_stage(3, lrelu(a3[0:bh, 1:wbp - 1, :].astype(f32)
+                                + s2[:, :, 0:g2].astype(f32)
+                                + bias[2 * g2:3 * g2]))
+            slot_add(4, 3, s2[:, :, g2:2 * g2], False)
+            slot_add(5, 3, s2[:, :, 2 * g2:], False)
 
-        # ---- stage 4: conv3 (x3 -> x4, x5), N = 6g in 1 chunk
-        c31 = conv(d3, w3, 4, 0, 6 * g)
-        x4 = lrelu(a4[0:bh, 1:wbp - 1, :].astype(jnp.float32)
-                   + c31[:, :, 0:g2] + bias[3 * g2:4 * g2])
-        emit_stage(4, x4)
-        slot_add(5, 4, c31[:, :, g2:], False)
+            # ---- stage 4: conv3 (x3 -> x4, x5), one dot N = 6g
+            s3 = kc(d3, w3)
+            emit_stage(4, lrelu(a4[0:bh, 1:wbp - 1, :].astype(f32)
+                                + s3[:, :, 0:g2].astype(f32)
+                                + bias[3 * g2:4 * g2]))
+            slot_add(5, 4, s3[:, :, g2:], False)
 
-        # ---- stage 5: conv4 (x4 -> x5) + residual output
-        c41 = conv(d4, w4, 5, 0, 2 * c)
+            # ---- stage 5: conv4 (x4 -> x5) + residual output
+            c41 = kc(d4, w4).astype(f32)
+        else:
+            # ---- stage 1: conv0 (x -> all slabs), N = 12g in 3 chunks
+            c01 = conv(d0, w0, 1, 0, 4 * g)              # [x1 | x2]
+            emit_stage(1, lrelu(c01[:, :, 0:g2] + bias[0:g2]))
+            slot_add(2, 1, c01[:, :, g2:2 * g2], True)
+            c02 = conv(d0, w0, 1, 4 * g, 8 * g)          # [x3 | x4]
+            slot_add(3, 1, c02[:, :, 0:g2], True)
+            slot_add(4, 1, c02[:, :, g2:2 * g2], True)
+            c03 = conv(d0, w0, 1, 8 * g, 12 * g)         # [x5]
+            slot_add(5, 1, c03, True)
+
+            # ---- stage 2: conv1 (x1 -> x2..x5), N = 10g in 2 chunks
+            c11 = conv(d1, w1, 2, 0, 4 * g)              # [x2 | x3]
+            x2 = lrelu(a2[0:bh, 1:wbp - 1, :].astype(jnp.float32)
+                       + c11[:, :, 0:g2] + bias[g2:2 * g2])
+            emit_stage(2, x2)
+            slot_add(3, 2, c11[:, :, g2:2 * g2], False)
+            c12 = conv(d1, w1, 2, 4 * g, 10 * g)         # [x4 | x5]
+            slot_add(4, 2, c12[:, :, 0:g2], False)
+            slot_add(5, 2, c12[:, :, g2:], False)
+
+            # ---- stage 3: conv2 (x2 -> x3..x5), N = 8g in 2 chunks
+            c21 = conv(d2, w2, 3, 0, 4 * g)              # [x3 | x4]
+            x3 = lrelu(a3[0:bh, 1:wbp - 1, :].astype(jnp.float32)
+                       + c21[:, :, 0:g2] + bias[2 * g2:3 * g2])
+            emit_stage(3, x3)
+            slot_add(4, 3, c21[:, :, g2:2 * g2], False)
+            c22 = conv(d2, w2, 3, 4 * g, 8 * g)          # [x5]
+            slot_add(5, 3, c22, False)
+
+            # ---- stage 4: conv3 (x3 -> x4, x5), N = 6g in 1 chunk
+            c31 = conv(d3, w3, 4, 0, 6 * g)
+            x4 = lrelu(a4[0:bh, 1:wbp - 1, :].astype(jnp.float32)
+                       + c31[:, :, 0:g2] + bias[3 * g2:4 * g2])
+            emit_stage(4, x4)
+            slot_add(5, 4, c31[:, :, g2:], False)
+
+            # ---- stage 5: conv4 (x4 -> x5) + residual output
+            c41 = conv(d4, w4, 5, 0, 2 * c)
+
         x5 = (a5[0:bh, 1:wbp - 1, :].astype(jnp.float32) + c41
               + bias[4 * g2:])
         res = (b0[0:bh, 1:wbp - 1, :].astype(jnp.float32)
@@ -423,12 +499,16 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("a", "w", "bh", "interpret"))
+@functools.partial(jax.jit, static_argnames=("a", "w", "bh", "interpret",
+                                             "variant"))
 def rdb_dform_call(x: jax.Array, wd: dict, a: int, w: int, bh: int = 8,
-                   interpret: bool | None = None) -> jax.Array:
+                   interpret: bool | None = None,
+                   variant: str = "v2") -> jax.Array:
     """One fused RDB on a kernel-format tensor (same format out).
 
     x: (N, AP, WF, 2C) bf16 from to_dform; wd: dform_rdb_weights output.
+    variant: see _mk_kernel ("v2" = K-concat bf16 dots, the default;
+    "v1" = round-2 shifted f32 dots).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -442,9 +522,16 @@ def rdb_dform_call(x: jax.Array, wd: dict, a: int, w: int, bh: int = 8,
     nwb = (wf - 16) // wbw
     wbp = wbw + 16
 
-    kern = _mk_kernel(bh=bh, wbw=wbw, a=a, w=w, c=c, g=g, nsteps=nsteps)
+    kern = _mk_kernel(bh=bh, wbw=wbw, a=a, w=w, c=c, g=g, nsteps=nsteps,
+                      variant=variant)
+    if variant == "v2":
+        # (3, 4Cin, N) -> (12Cin, N): K-major concat of the three column
+        # shifts, matching the kernel's lhs build order.
+        wd = dict(wd, **{f"w{i}": wd[f"w{i}"].reshape(
+            -1, wd[f"w{i}"].shape[-1]) for i in range(5)})
     wspec = [pl.BlockSpec(wd[f"w{i}"].shape, (lambda nd: lambda ni, wi, gi:
-             (0,) * nd)(3), memory_space=pltpu.VMEM) for i in range(5)]
+             (0,) * nd)(wd[f"w{i}"].ndim), memory_space=pltpu.VMEM)
+             for i in range(5)]
     bias2d = wd["b"][None, :]
     assert wbw % 8 == 0 and wf == 8 + nwb * wbw + 8
     out = pl.pallas_call(

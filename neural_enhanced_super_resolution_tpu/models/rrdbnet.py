@@ -356,17 +356,22 @@ def _trunk_dform(params: dict, feat: jax.Array, cfg: RRDBNetConfig,
     from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
         from_rows_s2d, to_rows_s2d)
 
+    import os as _os
+
     t = to_rows_s2d(feat.astype(jnp.bfloat16))
     a, w = t.shape[1], t.shape[2]
     xf = to_dform(t)
+    # "v2" (default): K-concat bf16-output dots (round-3 retry);
+    # "v1": round-2 shifted f32 dots — kept for A/B measurement.
+    variant = _os.environ.get("NESR_DFORM_VARIANT", "v2")
 
     def body_step(h, bp):
         # basicsr RRDB: out = x + 0.2 * rdb3(rdb2(rdb1(x))) — each inner
         # rdb already contains its own residual (the kernel returns
         # x + 0.2*x5). Residual add in bf16, matching _rrdb.
-        h1 = rdb_dform_call(h, bp["rdb1"], a, w)
-        h1 = rdb_dform_call(h1, bp["rdb2"], a, w)
-        h1 = rdb_dform_call(h1, bp["rdb3"], a, w)
+        h1 = rdb_dform_call(h, bp["rdb1"], a, w, variant=variant)
+        h1 = rdb_dform_call(h1, bp["rdb2"], a, w, variant=variant)
+        h1 = rdb_dform_call(h1, bp["rdb3"], a, w, variant=variant)
         return h + 0.2 * h1, None
 
     body_out, _ = lax.scan(body_step, xf, params["body_dform"])

@@ -152,12 +152,15 @@ def test_rdb_dform_reference_matches_xla_fused(rng, nf, gc, h, w):
     assert np.abs(ref - got).max() / scale < 2e-2
 
 
+@pytest.mark.parametrize("variant", ["v1", "v2"])
 @pytest.mark.parametrize("nf,gc,h,w", [(8, 4, 24, 16), (8, 4, 36, 40),
                                        (64, 32, 32, 48)])
-def test_rdb_dform_kernel_exact_vs_reference(rng, nf, gc, h, w):
-    """The line-buffered Pallas kernel (interpret mode on CPU) is bit-level
-    equal to its XLA oracle, and the chainable I/O format keeps its halo
-    zeros."""
+def test_rdb_dform_kernel_exact_vs_reference(rng, nf, gc, h, w, variant):
+    """The line-buffered Pallas kernel (interpret mode on CPU) matches its
+    XLA oracle per variant, and the chainable I/O format keeps its halo
+    zeros. v1 is bit-level; v2's single K=12C dot may round differently
+    than the oracle's 3-part f32 sum at the bf16 cast, so it gets one-ulp
+    slack."""
     import jax.numpy as jnp
     from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
         to_rows_s2d)
@@ -171,10 +174,14 @@ def test_rdb_dform_kernel_exact_vs_reference(rng, nf, gc, h, w):
                     jnp.bfloat16)
     t = to_rows_s2d(x)
     a, wcols = t.shape[1], t.shape[2]
-    ref = np.asarray(rdb_dform_reference(t, wd, gc), np.float32)
-    out = rdb_dform_call(to_dform(t), wd, a, wcols, interpret=True)
+    ref = np.asarray(rdb_dform_reference(t, wd, gc, v2=variant == "v2"),
+                     np.float32)
+    out = rdb_dform_call(to_dform(t), wd, a, wcols, interpret=True,
+                         variant=variant)
     got = np.asarray(from_dform(out, a, wcols), np.float32)
-    assert np.abs(ref - got).max() < 1e-4
+    scale = max(1.0, np.abs(ref).max())
+    tol = 1e-4 if variant == "v1" else 1e-2 * scale
+    assert np.abs(ref - got).max() < tol
 
     halo = np.asarray(out, np.float32)
     halo[:, IOFF:IOFF + a, 8:8 + wcols, :] = 0
@@ -220,7 +227,19 @@ def test_rdb_dform_kernel_multi_column_blocks(rng, w):
                     jnp.bfloat16)
     t = to_rows_s2d(x)
     a = t.shape[1]
+    # v1 is bit-exact vs the oracle, which makes it the right variant for
+    # asserting the column-blocking margins are EXACT (v2's K-concat dot
+    # legitimately rounds differently at the bf16 cast).
     ref = np.asarray(rdb_dform_reference(t, wd, 4), np.float32)
-    out = rdb_dform_call(to_dform(t), wd, a, w, interpret=True)
+    out = rdb_dform_call(to_dform(t), wd, a, w, interpret=True,
+                         variant="v1")
     got = np.asarray(from_dform(out, a, w), np.float32)
     assert np.abs(ref - got).max() < 1e-4
+
+    # v2 walks the same multi-block grid; its oracle gets bf16-ulp slack.
+    ref2 = np.asarray(rdb_dform_reference(t, wd, 4, v2=True), np.float32)
+    out2 = rdb_dform_call(to_dform(t), wd, a, w, interpret=True,
+                          variant="v2")
+    got2 = np.asarray(from_dform(out2, a, w), np.float32)
+    scale = max(1.0, np.abs(ref2).max())
+    assert np.abs(ref2 - got2).max() < 1e-2 * scale

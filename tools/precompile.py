@@ -39,7 +39,8 @@ def main() -> int:
     ap.add_argument("--diffusion", action="store_true",
                     help="also warm the SD x4 denoise loop (slow compile)")
     ap.add_argument("--tile-sizes", type=int, nargs="*", default=[256])
-    ap.add_argument("--halo", type=int, default=16)
+    # default matches the TPU production overlay (runtime/config.py round 3)
+    ap.add_argument("--halo", type=int, default=10)
     ap.add_argument("--batch", type=int, default=16)
     args = ap.parse_args()
 
