@@ -59,9 +59,11 @@ def _mk_kernel_v2(nsteps):
             lhs = jnp.concatenate(
                 [dk[0:BH, dc:dc + E, :].reshape(m, kdim) for dc in range(3)],
                 axis=1)                                  # (m, 12*cin) bf16
+            # Mosaic requires a 32-bit matmul accumulator; the single
+            # rounding point is preserved by casting the one f32 result.
             out = jax.lax.dot_general(
                 lhs, wks[s][:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.bfloat16)     # (m, n) bf16
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
             out = out.reshape(BH, E, n)
             # feed the next stage's window buffer (emit_stage analog: the
             # first 2g lanes become the next stage's activation, written to

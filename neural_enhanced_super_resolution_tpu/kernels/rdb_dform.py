@@ -1,16 +1,31 @@
 """Fused whole-RDB Pallas kernel, D-form edition (experimental, opt-in).
 
-STATUS (measured on this v5e via the remote-compile tunnel, 2026-08-16):
-the kernel is numerically exact (1 bf16 ulp vs its XLA oracle) but runs
-~37 ms per RDB on the 16x288^2 tile batch vs 14.5 ms for the XLA fused
-path — ~2.5x SLOWER — so the production default stays the XLA trunk
-(models/rrdbnet._rdb_fused). Profiling attributes the gap to per-op VMEM
-materialisation of f32 intermediates inside the step body (~30 MB/step at
-~0.5 TB/s effective VPU copy bandwidth), which Mosaic does not fuse across
-the dot/assembly chain; per-step I/O pipelining and the rolling-carry
-machinery measure <5 us/step and are NOT the bottleneck
-(benchmarks/RESULTS.md round-2 decision record). Re-evaluate on
-directly-attached hardware with a profiler before further tuning.
+STATUS (round 3, 2026-08-17, v5e via the remote-compile tunnel): TWO
+variants, both numerically validated, NEITHER beats the XLA fused trunk —
+the production default stays XLA (models/rrdbnet._rdb_fused).
+
+  v1 (round 2): 3 column-shifted f32 dots per N<=128 chunk. 37 ms/RDB
+  (58 us/step) on the 16x288^2 batch vs XLA's 14.5 ms — bounded by the
+  f32 cross-dot materialisation (~30 MB/step).
+
+  v2 (round 3, roadmap item a): ONE K-concatenated dot per stage
+  (K = 12*Cin, f32 MXU accumulation, single bf16 rounding = the XLA
+  trunk's own rounding points; Mosaic rejects bf16 accumulators, so the
+  cast follows the dot). The step BODY hits 20.3 us/step in-context
+  (79.5 TF/s raw, 59.6 effective — 2.9x v1, better than XLA's 22.6
+  us-equiv; benchmarks/envelope_v2_step.py). But the INTEGRATED kernel
+  measures 43.2 us/step / 29.0 ms/RDB (benchmarks/envelope_dform_call.py):
+  with only ~8 us of MXU work per step left, the line-buffer machinery
+  (rolling carries, bf16 slot delay-lines, masked window emits — ~23 us of
+  VPU stores) no longer hides behind the dot chain the way it fully did in
+  v1. The schedule's serial VPU traffic, not the MXU, is now the wall;
+  removing it means either block-halo recompute (>=25% extra FLOPs at
+  VMEM-feasible block heights) or bh>=16 blocks whose Mosaic compiles
+  (>250 s) never land in this environment's persistent cache.
+
+Decision: XLA trunk remains production; both variants stay in-tree,
+tested (interpret-mode exactness vs per-variant oracles) and measured, as
+the baseline for re-evaluation on directly-attached hardware with XProf.
 
 Design (kept because the schedule itself is sound and fully tested):
 
@@ -402,9 +417,12 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
             lhs = jnp.concatenate(
                 [dk[0:bh, dc:dc + e, :].reshape(m, kdim) for dc in range(3)],
                 axis=1)
+            # Mosaic requires a 32-bit matmul accumulator
+            # ('Expected matmul acc to be 32-bit'), so the single bf16
+            # rounding happens via an explicit cast of the one f32 result.
             out = jax.lax.dot_general(
                 lhs, wk[:], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.bfloat16)
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
             return out.reshape(bh, e, wk.shape[-1])
 
         bias = b_ref[0]
