@@ -48,6 +48,10 @@ def parse_arguments(argv=None):
     parser.add_argument("--download_models", action="store_true",
                         help="Download required models")
     # Documented in the reference README but missing from its CLI:
+    parser.add_argument("--use_swinir", action="store_true",
+                        help="Enable the SwinIR branch (a REAL model here; "
+                             "the reference documents this key but never "
+                             "implements it)")
     parser.add_argument("--no_diffusion", action="store_true",
                         help="Disable the diffusion upscaler")
     parser.add_argument("--no_esrgan", action="store_true",
@@ -96,6 +100,8 @@ def run_cli_mode(args) -> int:
         "output_dir": (os.path.dirname(args.output) or "outputs"
                        if args.output else "outputs"),
     }
+    if args.use_swinir:
+        base_config["use_swinir"] = True
     if args.no_diffusion:
         base_config["use_diffusion"] = False
     if args.no_esrgan:
@@ -152,6 +158,8 @@ def _run_batch_mode(args) -> int:
     config.update({"iterations": args.iterations,
                    "upscale_factor": args.upscale_factor,
                    "output_dir": out_dir})
+    if args.use_swinir:
+        config["use_swinir"] = True
     if args.no_diffusion:
         config["use_diffusion"] = False
     if args.no_esrgan:

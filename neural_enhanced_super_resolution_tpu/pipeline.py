@@ -253,6 +253,32 @@ class SuperResolutionPipeline:
             except Exception as exc:  # ladder: feature disabled, continue
                 logger.error("Error loading Real-ESRGAN model: %s", exc)
 
+        if cfg.get("use_swinir") and "swinir" not in self.models:
+            # The reference documents use_swinir but never implements it
+            # (nesr.py:37 "Not implemented in this version"; the standalone
+            # branch is a placeholder returning None,
+            # superres_project.py:288-296). Here it is a real third
+            # upscaling branch (models/swinir.py).
+            try:
+                logger.info("Loading SwinIR model...")
+                from neural_enhanced_super_resolution_tpu.models.swinir import (
+                    load_swinir)
+                path = cfg.get("swinir_model_path")
+                if path is None:
+                    from neural_enhanced_super_resolution_tpu.utils import (
+                        downloader)
+                    path = downloader.get_model_path("swinir")
+                    if not os.path.exists(path):
+                        entry = downloader.MODELS["swinir"]
+                        logger.info("SwinIR weights missing; downloading "
+                                    "%s", entry["url"])
+                        downloader.download_file(entry["url"], path)
+                self.models["swinir"] = load_swinir(
+                    path, compute_dtype=cfg["precision"])
+                logger.info("SwinIR model loaded successfully")
+            except Exception as exc:  # ladder: feature disabled, continue
+                logger.warning("SwinIR model loading failed: %s", exc)
+
         if cfg["use_diffusion"] and "diffusion" not in self.models:
             try:
                 logger.info("Loading Stable Diffusion upscaler...")
@@ -470,6 +496,31 @@ class SuperResolutionPipeline:
             return out4
         return resize(out4, dsize=target, interpolation="lanczos4")
 
+    # SwinIR ----------------------------------------------------------------
+
+    def _apply_swinir(self, image):
+        """Third upscaling branch for the ensemble (the standalone's
+        intended flow, superres_project.py:158-163): tiled through the same
+        machinery as ESRGAN, failure -> branch skipped (ladder)."""
+        try:
+            model = self.models.get("swinir")
+            if model is None:
+                return None
+            image = jnp.asarray(image)
+            h, w = int(image.shape[0]), int(image.shape[1])
+            tile = min(int(self.config["max_tile_size"]), 256)
+            if max(h, w) <= 2 * tile:
+                return model.upscale_batch(image[None])[0]
+            return self._run_tiled(
+                model.upscale_batch, image, tile_size=tile,
+                halo=self.config.get("tile_halo", 16),
+                scale=model.cfg.scale)
+        except (EnhancementCancelled, TilingCancelled):
+            raise EnhancementCancelled("cancelled during SwinIR")
+        except Exception as exc:  # noqa: BLE001 - ladder
+            logger.warning("SwinIR upscaling failed: %s", exc)
+            return None
+
     # Diffusion -------------------------------------------------------------
 
     def _apply_diffusion(self, image, prompt):
@@ -560,6 +611,15 @@ class SuperResolutionPipeline:
                     if not self._overlap_active():
                         # sequential mode: account time per stage exactly
                         result = jax.block_until_ready(result)
+                if result is not None:
+                    upscaled.append(result)
+
+            if self.config.get("use_swinir") and "swinir" in self.models:
+                logger.info("Applying SwinIR upscaling...")
+                self._callback("SwinIR", iteration, iterations,
+                               "Applying SwinIR upscaling")
+                with self.timer.stage("swinir"):
+                    result = self._apply_swinir(current)
                 if result is not None:
                     upscaled.append(result)
 

@@ -90,6 +90,10 @@ def default_config() -> dict[str, Any]:
         "tile_halo": 16,              # overlap halo px (reference pad=16)
         "esrgan_model_path": None,
         "esrgan_arch": None,
+        # use_swinir is a REAL branch here (models/swinir.py), not the
+        # reference's unimplemented placeholder. Off by default to match
+        # the reference's default config (nesr.py:37).
+        "swinir_model_path": None,
         "diffusion_model_path": None,
         "segmentation_model_path": None,
         "num_inference_steps": None,  # None -> per-device default (10/20)

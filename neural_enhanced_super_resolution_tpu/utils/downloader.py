@@ -42,6 +42,19 @@ MODELS = {
         "md5": "94df4e7c584b55e2e9a5d2b8f161860e",
         "required": False,
     },
+    "swinir": {
+        # Optional third upscaling branch (use_swinir) — the published
+        # real-world SwinIR-M x4 GAN checkpoint. The reference documents
+        # this model but never implements it (nesr.py:37,
+        # standalone/superres_project.py:288-296); here it is real
+        # (models/swinir.py). No MD5 published for this release asset.
+        "name": "SwinIR Real-World x4 Model",
+        "url": ("https://github.com/JingyunLiang/SwinIR/releases/download/"
+                "v0.0/003_realSR_BSRGAN_DFO_s64w8_SwinIR-M_x4_GAN.pth"),
+        "path": "weights/SwinIR_realSR_M_x4_GAN.pth",
+        "size": None,
+        "required": False,
+    },
     "sd_upscaler": {
         "name": "Stable Diffusion Upscaler",
         "huggingface_id": "stabilityai/stable-diffusion-x4-upscaler",
@@ -192,7 +205,9 @@ def download_models(model_keys=None, progress_callback=None) -> dict[str, bool]:
     to_get = [k for k in model_keys if not existing.get(k)]
     results = {k: True for k in model_keys if existing.get(k)}
 
-    total_size = sum(MODELS[k]["size"] for k in to_get) or 1
+    # entries without a published size (e.g. swinir) weigh a nominal 64 MB
+    _w = lambda k: MODELS[k]["size"] or (64 << 20)  # noqa: E731
+    total_size = sum(_w(k) for k in to_get) or 1
     done_size = 0
     for key in to_get:
         info = MODELS[key]
@@ -200,7 +215,7 @@ def download_models(model_keys=None, progress_callback=None) -> dict[str, bool]:
         def agg(frac, _key=key):
             if progress_callback:
                 progress_callback(
-                    (done_size + frac * MODELS[_key]["size"]) / total_size)
+                    (done_size + frac * _w(_key)) / total_size)
 
         if info.get("huggingface_id"):
             ok = download_huggingface_model(key, agg)
@@ -208,7 +223,7 @@ def download_models(model_keys=None, progress_callback=None) -> dict[str, bool]:
             ok = download_file(info["url"], get_model_path(key),
                               info.get("size"), info.get("md5"), agg)
         results[key] = ok
-        done_size += info["size"]
+        done_size += _w(key)
         logger.info("%s: %s", info["name"], "ok" if ok else "FAILED")
     return results
 

@@ -61,9 +61,13 @@ def test_cli_config_merge_cli_wins(tmp_path, monkeypatch):
 # ------------------------------------------------------------- downloader ---
 
 def test_model_registry_matches_reference():
-    # Same keys/URLs/sizes as the reference registry (downloader.py:20-51).
+    # Superset of the reference registry (downloader.py:20-51): same four
+    # entries, plus "swinir" — the model the reference documents but never
+    # implements (here a real branch, required=False so the reference's
+    # required-model set is unchanged).
     assert set(MODELS) == {"esrgan_x2", "esrgan_x4", "sd_upscaler",
-                           "segmentation"}
+                           "segmentation", "swinir"}
+    assert not MODELS["swinir"].get("required")
     assert MODELS["esrgan_x2"]["md5"] == "5db904e3e9f0dbf5c64b7ae665527e62"
     assert MODELS["sd_upscaler"]["huggingface_id"] == \
         "stabilityai/stable-diffusion-x4-upscaler"
