@@ -69,6 +69,9 @@ class EnhancementSettingsState:
     upscale_factor: float = 2.0
     use_esrgan: bool = True
     use_diffusion: bool = True
+    # a REAL branch here (models/swinir.py), unlike the reference's
+    # unimplemented placeholder; off by default like its config
+    use_swinir: bool = False
     segment_enhancement: bool = True
     denoise_level: float = 0.5
     adaptive_sharpening: bool = True
@@ -91,6 +94,7 @@ class EnhancementSettingsState:
             "upscale_factor": self.upscale_factor,
             "use_esrgan": self.use_esrgan,
             "use_diffusion": self.use_diffusion,
+            "use_swinir": self.use_swinir,
             "segment_enhancement": self.segment_enhancement,
             "denoise_level": self.denoise_level,
             "adaptive_sharpening": self.adaptive_sharpening,
