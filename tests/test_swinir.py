@@ -114,6 +114,58 @@ def test_pipeline_swinir_branch(tmp_path, test_image):
     assert out.shape == (96, 96, 3)  # x4 branch drove the ensemble
 
 
+def test_pipeline_three_branch_ensemble(tmp_path, test_image):
+    """ESRGAN + SwinIR both feed the ensemble (the multi-model average the
+    reference only reaches with two branches)."""
+    import torch as _torch
+
+    from neural_enhanced_super_resolution_tpu import SuperResolutionPipeline
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+        RRDBNetConfig, fuse_rrdbnet_params, init_rrdbnet)
+
+    pipe = SuperResolutionPipeline(device="cpu", config={
+        "iterations": 1, "use_diffusion": False,
+        "segment_enhancement": False, "use_esrgan": True,
+        "use_swinir": True, "denoise_level": 0,
+        "adaptive_sharpening": False,
+        "output_dir": str(tmp_path / "out")})
+    ecfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=8,
+                         num_block=1, num_grow_ch=4)
+    pipe.models["esrgan"] = {
+        "params": fuse_rrdbnet_params(init_rrdbnet(jax.random.PRNGKey(3),
+                                                   ecfg)),
+        "cfg": ecfg}
+    pipe.models["swinir"] = SwinIRModel(
+        init_swinir(jax.random.PRNGKey(0), TINY), TINY, "float32")
+    out = pipe.enhance_array(test_image[:24, :24])
+    assert out.shape == (96, 96, 3)
+    assert pipe.timer.totals.get("swinir", 0) > 0  # branch actually ran
+
+
+def test_pipeline_swinir_sharded_matches_single(tmp_path, test_image):
+    """The SwinIR branch rides the same DP mesh machinery as ESRGAN:
+    data_parallel auto == off, bit-exact, on the 8-device CPU mesh."""
+    import jax as _jax
+
+    from neural_enhanced_super_resolution_tpu import SuperResolutionPipeline
+
+    assert _jax.device_count() >= 8
+    outs = {}
+    for dp in ("auto", "off"):
+        pipe = SuperResolutionPipeline(device="cpu", config={
+            "iterations": 1, "use_diffusion": False,
+            "segment_enhancement": False, "use_esrgan": False,
+            "use_swinir": True, "denoise_level": 0,
+            "adaptive_sharpening": False, "data_parallel": dp,
+            "enable_tiling": True, "max_megapixels": 0.0001,
+            "max_tile_size": 16, "tile_halo": 4,
+            "output_dir": str(tmp_path / f"out_{dp}")})
+        pipe.models["swinir"] = SwinIRModel(
+            init_swinir(jax.random.PRNGKey(0), TINY), TINY, "float32")
+        outs[dp] = pipe.enhance_array(test_image[:64, :64])
+    assert np.array_equal(outs["auto"], outs["off"])
+
+
 def test_pipeline_swinir_missing_weights_degrades(tmp_path, test_image):
     """No checkpoint -> feature disabled, pipeline continues (ladder)."""
     from neural_enhanced_super_resolution_tpu import SuperResolutionPipeline
