@@ -63,24 +63,26 @@ def _bench_image(min_mp: float = 0.4):
 
 
 def config_1_esrgan_single():
-    """Real-ESRGAN x2 single-image path (--no_diffusion), >=0.4 MP input."""
-    import jax.numpy as jnp
+    """Real-ESRGAN x2 single-image path (--no_diffusion), >=0.4 MP input.
+
+    Measured through the PRODUCT path (SuperResolutionPipeline.enhance_array:
+    preprocess -> ESRGAN via the fixed-tile machinery -> sharpen), not a raw
+    whole-image forward — the real serving behaviour."""
+    from neural_enhanced_super_resolution_tpu import SuperResolutionPipeline
     from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
         RRDBNetConfig)
-    from neural_enhanced_super_resolution_tpu.ops.enhance import (
-        adaptive_sharpen, preprocess)
-    from neural_enhanced_super_resolution_tpu.pipeline import _esrgan_jit
 
     img = _bench_image()
+    pipe = SuperResolutionPipeline(config={
+        "iterations": 1, "use_diffusion": False,
+        "segment_enhancement": False,
+        "output_dir": "/tmp/nesr_bench_out"})
     cfg = RRDBNetConfig(num_in_ch=12, num_out_ch=3, scale=4, num_feat=64,
                         num_block=23, num_grow_ch=32)
-    params = _tiny_esrgan_params(cfg)
+    pipe.models["esrgan"] = {"params": _tiny_esrgan_params(cfg), "cfg": cfg}
 
     def run():
-        x = preprocess(img, 0.5)
-        y = _esrgan_jit(params, jnp.asarray(x)[None], cfg, "bfloat16",
-                        "stack12")[0]
-        return adaptive_sharpen(y)
+        return pipe.enhance_array(img)
 
     best = _timer(run)
     mp = img.shape[0] * img.shape[1] / 1e6

@@ -136,24 +136,37 @@ def process_tiled(model_fn: Callable[[jax.Array], jax.Array], image,
         ny, nx = ph // tile_size, pw // tile_size
         tiles = extract_tiles(padded, tile_size, halo)
     n = tiles.shape[0]
-    if batch_tiles is None or batch_tiles >= n:
+
+    def _bucket(k: int, cap: int) -> int:
+        """Smallest power-of-two >= k, capped — so a 6-tile image runs an
+        8-tile program instead of padding to the full 16-tile batch (62%
+        wasted trunk compute for small serving inputs). Buckets keep the
+        jit-specialization count logarithmic and every bucket caches."""
+        b = 1
+        while b < k:
+            b *= 2
+        return min(b, cap)
+
+    if batch_tiles is None:
         out_tiles = model_fn(tiles)
     else:
         chunks = []
-        # Fixed chunk size keeps a single jit specialization; the tail chunk
-        # is padded up to batch_tiles and cropped after.
+        # Full chunks run at batch_tiles (one hot specialization); the tail
+        # (or a small image's only chunk) pads to a power-of-two bucket.
         for start in range(0, n, batch_tiles):
             if cancel_check is not None and cancel_check():
                 raise TilingCancelled(
                     f"cancelled at tile {start}/{n}")
             chunk = tiles[start:start + batch_tiles]
             valid = chunk.shape[0]
-            if valid < batch_tiles:
-                pad_n = batch_tiles - valid
+            bucket = _bucket(valid, batch_tiles)
+            if valid < bucket:
+                pad_n = bucket - valid
                 chunk = jnp.concatenate(
                     [chunk, jnp.repeat(chunk[-1:], pad_n, axis=0)], axis=0)
             chunks.append(model_fn(chunk)[:valid])
-        out_tiles = jnp.concatenate(chunks, axis=0)
+        out_tiles = (chunks[0] if len(chunks) == 1
+                     else jnp.concatenate(chunks, axis=0))
 
     out = stitch_tiles(out_tiles, ny, nx, tile_size * scale, halo * scale)
     return out[:orig_h * scale, :orig_w * scale, :]

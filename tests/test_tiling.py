@@ -61,6 +61,24 @@ def test_process_tiled_batched_chunks(rng):
     assert np.allclose(full, chunked, atol=1e-6)
 
 
+def test_process_tiled_bucketed_small_batch(rng):
+    """A small image (6 tiles) with batch_tiles=16 runs an 8-tile bucket
+    program, not a 16-padded one, and matches the unchunked result. The
+    model asserts the bucket shape it actually sees."""
+    seen = []
+
+    def model(tiles):
+        seen.append(int(tiles.shape[0]))
+        return _upscale2x_model(tiles)
+
+    img = rng.random((32, 48, 3), dtype=np.float32)        # 2x3 = 6 tiles
+    full = np.asarray(process_tiled(_upscale2x_model, img, 16, 2, 2))
+    bucketed = np.asarray(process_tiled(model, img, 16, 2, 2,
+                                        batch_tiles=16))
+    assert np.allclose(full, bucketed, atol=1e-6)
+    assert seen == [8], seen  # pow2 bucket, not 16
+
+
 def test_process_tiled_sharded_matches_single(rng):
     assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
     mesh = make_mesh(8)

@@ -61,15 +61,20 @@ def main() -> int:
     params = jax.device_put(fuse_rrdbnet_params(
         init_rrdbnet(jax.random.PRNGKey(0), cfg)))
 
+    # Warm the full batch plus the power-of-two tail buckets the tiler uses
+    # for small images / tail chunks (parallel/tiling.process_tiled).
+    buckets = sorted({args.batch, max(1, args.batch // 2),
+                      max(1, args.batch // 4)}, reverse=True)
     for tile in args.tile_sizes:
         side = tile + 2 * args.halo
-        tiles = jnp.asarray(rng.integers(
-            0, 256, (args.batch, side, side, 3), dtype=np.uint8))
-        t0 = time.perf_counter()
-        out = _esrgan_jit(params, tiles, cfg, "bfloat16", "stack12")
-        float(jnp.sum(out.astype(jnp.float32)))
-        print(f"warmed esrgan tile={tile} halo={args.halo} "
-              f"batch={args.batch}: {time.perf_counter() - t0:.1f}s")
+        for b in buckets:
+            tiles = jnp.asarray(rng.integers(
+                0, 256, (b, side, side, 3), dtype=np.uint8))
+            t0 = time.perf_counter()
+            out = _esrgan_jit(params, tiles, cfg, "bfloat16", "stack12")
+            float(jnp.sum(out.astype(jnp.float32)))
+            print(f"warmed esrgan tile={tile} halo={args.halo} "
+                  f"batch={b}: {time.perf_counter() - t0:.1f}s")
 
     if args.diffusion:
         from neural_enhanced_super_resolution_tpu.models.diffusion import (
