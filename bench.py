@@ -101,6 +101,12 @@ def main() -> int:
     fused_mode = os.environ.get("NESR_BENCH_FUSED", "1")
     if fused_mode == "s2d":
         params = fuse_rrdbnet_params_s2d(params)
+    elif fused_mode == "int8":
+        # opt-in quantized trunk (esrgan_trunk: "int8"); quality study in
+        # tests/test_quality.py + RESULTS.md
+        from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+            fuse_rrdbnet_params_int8)
+        params = fuse_rrdbnet_params_int8(params)
     elif fused_mode == "dform":
         # fused whole-RDB Pallas trunk (kernels/rdb_dform.py)
         from neural_enhanced_super_resolution_tpu.models.rrdbnet import (

@@ -33,7 +33,8 @@ from jax import lax
 
 __all__ = ["RRDBNetConfig", "init_rrdbnet", "rrdbnet_forward",
            "pixel_unshuffle", "fuse_rrdbnet_params",
-           "fuse_rrdbnet_params_s2d", "fuse_rrdbnet_params_dform"]
+           "fuse_rrdbnet_params_s2d", "fuse_rrdbnet_params_dform",
+           "fuse_rrdbnet_params_int8"]
 
 
 class RRDBNetConfig:
@@ -236,8 +237,82 @@ def _rdb_fused_s2d(t: jax.Array, p: dict, gc: int) -> jax.Array:
     return t + (0.2 * x5).astype(t.dtype)
 
 
+def _rdb_fused_int8(x: jax.Array, p: dict, gc: int) -> jax.Array:
+    """_rdb_fused with int8 MXU convs (opt-in fast mode, NOT exact).
+
+    Round-3 envelope data (benchmarks/envelope_int8_shapes.py): int8 convs
+    at the exact fused shapes run a FLOP-weighted 100.6 effective TOP/s vs
+    bf16's 72.9 TF/s on v5e. Quantisation: per-output-channel symmetric
+    weights (folded at fuse time), dynamic per-tensor activations
+    (max-abs), int32 accumulation, dequant fused into the existing f32
+    assembly — every add/lrelu/bias keeps the production numerics. Quality
+    is a measured property, not an identity: see
+    tests/test_quality.py::test_int8_trunk_quality (trained fixture) and
+    the RESULTS.md study.
+    """
+    g = gc
+
+    def conv_q(h, i):
+        s_x = jnp.maximum(jnp.max(jnp.abs(h.astype(jnp.float32))), 1e-8)
+        q = jnp.clip(jnp.round(h.astype(jnp.float32) * (127.0 / s_x)),
+                     -127, 127).astype(jnp.int8)
+        y = lax.conv_general_dilated(
+            q, p[f"w{i}_q"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        scale = (s_x / 127.0) * p[f"w{i}_s"]          # (N,) f32
+        return (y.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+
+    b = p["b"].astype(jnp.float32)
+    c0 = conv_q(x, 0)
+    x1 = _lrelu(c0[..., 0:g] + b[0:g])
+    c1 = conv_q(x1, 1)
+    x2 = _lrelu(c0[..., g:2 * g] + c1[..., 0:g] + b[g:2 * g])
+    c2 = conv_q(x2, 2)
+    x3 = _lrelu(c0[..., 2 * g:3 * g] + c1[..., g:2 * g] + c2[..., 0:g]
+                + b[2 * g:3 * g])
+    c3 = conv_q(x3, 3)
+    x4 = _lrelu(c0[..., 3 * g:4 * g] + c1[..., 2 * g:3 * g]
+                + c2[..., g:2 * g] + c3[..., 0:g] + b[3 * g:4 * g])
+    c4 = conv_q(x4, 4)
+    x5 = (c0[..., 4 * g:] + c1[..., 3 * g:] + c2[..., 2 * g:]
+          + c3[..., g:] + c4 + b[4 * g:])
+    return x + 0.2 * x5.astype(x.dtype)
+
+
+def fuse_rrdbnet_params_int8(params: dict) -> dict:
+    """fuse_rrdbnet_params + per-output-channel symmetric int8 trunk weights.
+
+    Each fused conv weight (nb, 3, 3, Cin, N) f32 becomes w{i}_q int8 with
+    scale w{i}_s = max|w| over (3, 3, Cin) per output channel / 127. The
+    head and conv_first/conv_body stay bf16 (they are <6% of the FLOPs and
+    the head feeds the final pixels).
+    """
+    fused = params if "w0" in params.get("body", {}).get("rdb1", {}) \
+        else fuse_rrdbnet_params(params)
+    body = {}
+    for rdb, p in fused["body"].items():
+        q = {"b": p["b"]}
+        for i in range(5):
+            w = np.asarray(p[f"w{i}"], np.float32)     # (nb, 3, 3, Cin, N)
+            s = np.maximum(np.abs(w).max(axis=(1, 2, 3)), 1e-12) / 127.0
+            q[f"w{i}_q"] = jnp.asarray(
+                np.clip(np.round(w / s[:, None, None, None, :]),
+                        -127, 127).astype(np.int8))
+            q[f"w{i}_s"] = jnp.asarray(s.astype(np.float32))
+        body[rdb] = q
+    out = dict(fused)
+    out["body"] = body
+    return out
+
+
 def _rrdb(x: jax.Array, p: dict, compute_dtype) -> jax.Array:
-    if "wk0" in p["rdb1"]:
+    if "w0_q" in p["rdb1"]:
+        gc = p["rdb1"]["w1_q"].shape[2]  # Cin of conv1 == growth channels
+        out = _rdb_fused_int8(x, p["rdb1"], gc)
+        out = _rdb_fused_int8(out, p["rdb2"], gc)
+        out = _rdb_fused_int8(out, p["rdb3"], gc)
+    elif "wk0" in p["rdb1"]:
         gc = p["rdb1"]["wk1"].shape[0] // 12  # growth from rows-s2d layout
         out = _rdb_fused_s2d(x, p["rdb1"], gc)
         out = _rdb_fused_s2d(out, p["rdb2"], gc)

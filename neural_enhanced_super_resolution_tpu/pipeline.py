@@ -248,6 +248,15 @@ class SuperResolutionPipeline:
                         from neural_enhanced_super_resolution_tpu.models \
                             .rrdbnet import fuse_rrdbnet_params_dform
                         params = fuse_rrdbnet_params_dform(params)
+                    elif cfg.get("esrgan_trunk") == "int8":
+                        # Opt-in quantized fast mode (+~15% measured on
+                        # v5e): per-channel int8 trunk weights, dynamic
+                        # per-tensor activations, f32 assembly. NOT exact —
+                        # quality study in tests/test_quality.py and
+                        # benchmarks/RESULTS.md.
+                        from neural_enhanced_super_resolution_tpu.models \
+                            .rrdbnet import fuse_rrdbnet_params_int8
+                        params = fuse_rrdbnet_params_int8(params)
                 self.models["esrgan"] = {"params": params, "cfg": model_cfg}
                 logger.info("Real-ESRGAN model loaded successfully")
             except Exception as exc:  # ladder: feature disabled, continue

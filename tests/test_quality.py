@@ -79,3 +79,32 @@ def test_trained_model_tiled_quality_close_to_whole(tmp_path, test_image,
     whole2 = np.asarray(resize(whole, dsize=(tiled.shape[1], tiled.shape[0]),
                                interpolation="lanczos4"))
     assert float(psnr(tiled, whole2)) > 25.0
+
+
+def test_int8_trunk_quality(tmp_path, test_image):
+    """esrgan_trunk: "int8" (opt-in fast mode) must stay visually
+    equivalent on the trained model: the int8-trunk output vs the exact
+    bf16-trunk output >= 40 dB PSNR, and the enhancement quality vs the
+    clean original within 0.15 dB of the exact trunk (the BASELINE.md
+    parity budget class)."""
+    lr = np.asarray(resize(test_image,
+                           dsize=(test_image.shape[1] // 2,
+                                  test_image.shape[0] // 2),
+                           interpolation="bicubic"))
+    common = {"iterations": 1, "use_diffusion": False,
+              "segment_enhancement": False, "denoise_level": 0,
+              "adaptive_sharpening": False, "esrgan_model_path": CKPT,
+              "esrgan_arch": dict(TRAINED_ARCH),
+              "output_dir": str(tmp_path / "out")}
+    exact = SuperResolutionPipeline(device="cpu",
+                                    config=dict(common)).enhance_array(lr)
+    q = SuperResolutionPipeline(device="cpu", config=dict(
+        common, esrgan_trunk="int8")).enhance_array(lr)
+    assert q.shape == exact.shape
+    p_cross = float(psnr(q, exact))
+    assert p_cross > 40.0, p_cross
+
+    ref = np.asarray(resize(test_image, dsize=(q.shape[1], q.shape[0]),
+                            interpolation="lanczos4"))
+    d = abs(float(psnr(q, ref)) - float(psnr(exact, ref)))
+    assert d < 0.15, d

@@ -256,3 +256,27 @@ def test_rows_s2d_conv_kernel_matches_xla():
             jnp.asarray(rearrange_w_rows_s2d(w))))
         err = float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref)))
         assert err < 0.1, (cin, cout, err)
+
+
+def test_int8_trunk_forward_close_to_f32(rng):
+    """Quantized trunk (fuse_rrdbnet_params_int8) stays close to the exact
+    forward on random weights — the structural check behind the trained-
+    fixture quality gate (tests/test_quality.py)."""
+    import jax
+    import jax.numpy as jnp
+    from neural_enhanced_super_resolution_tpu.models.rrdbnet import (
+        RRDBNetConfig, fuse_rrdbnet_params, fuse_rrdbnet_params_int8,
+        init_rrdbnet, rrdbnet_forward)
+
+    cfg = RRDBNetConfig(num_in_ch=3, num_out_ch=3, scale=4, num_feat=8,
+                        num_block=2, num_grow_ch=4)
+    raw = init_rrdbnet(jax.random.PRNGKey(2), cfg)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 16, 24, 3)).astype(np.float32))
+    exact = np.asarray(rrdbnet_forward(fuse_rrdbnet_params(raw), x, cfg,
+                                       "float32"))
+    q = np.asarray(rrdbnet_forward(fuse_rrdbnet_params_int8(raw), x, cfg,
+                                   "float32"))
+    assert q.shape == exact.shape == (1, 64, 96, 3)
+    scale = max(1e-6, float(np.abs(exact).max()))
+    rel = float(np.abs(q - exact).max()) / scale
+    assert rel < 0.05, rel  # int8 quantisation noise, not divergence
