@@ -39,14 +39,25 @@ __all__ = ["process_tiled_sharded", "halo_exchange_strips",
 
 def process_tiled_sharded(model_fn: Callable, image, mesh: Mesh,
                           tile_size: int = 512, halo: int = 16,
-                          scale: int = 2, axis_name: str = "dp") -> jax.Array:
+                          scale: int = 2, axis_name: str = "dp",
+                          batch_tiles: int | None = None,
+                          cancel_check: Callable[[], bool] | None = None
+                          ) -> jax.Array:
     """Tile-batch DP over a device mesh.
 
     The tile batch is padded up to a multiple of the mesh size (repeating the
     last tile) so every chip gets an equal static-shape shard, then sharded
     with jax.device_put — XLA partitions the batched conv automatically; no
     per-tile Python loop and no host round-trips.
+
+    batch_tiles bounds the PER-DEVICE tiles per model invocation (the same
+    HBM guard as the single-device path — a 16K image would otherwise ship
+    hundreds of tiles per chip in one program); cancel_check is polled
+    between chunks (parallel/tiling.TilingCancelled).
     """
+    from neural_enhanced_super_resolution_tpu.parallel.tiling import (
+        TilingCancelled)
+
     image = jnp.asarray(image)
     n_dev = mesh.devices.size
     padded, orig_h, orig_w = pad_to_grid(image, tile_size)
@@ -55,14 +66,33 @@ def process_tiled_sharded(model_fn: Callable, image, mesh: Mesh,
 
     tiles = extract_tiles(padded, tile_size, halo)
     n = tiles.shape[0]
-    n_pad = (-n) % n_dev
-    if n_pad:
-        tiles = jnp.concatenate(
-            [tiles, jnp.repeat(tiles[-1:], n_pad, axis=0)], axis=0)
+    step = n if batch_tiles is None else max(n_dev, batch_tiles * n_dev)
+    sharding = NamedSharding(mesh, P(axis_name))
 
-    tiles = jax.device_put(tiles, NamedSharding(mesh, P(axis_name)))
-    out_tiles = model_fn(tiles)  # sharded batch conv; XLA keeps it local
-    out_tiles = out_tiles[:n]
+    chunks = []
+    for start in range(0, n, step):
+        if cancel_check is not None and cancel_check():
+            raise TilingCancelled(f"cancelled at tile {start}/{n}")
+        chunk = tiles[start:start + step]
+        valid = chunk.shape[0]
+        # tail pads to a power-of-two per-device bucket (same policy as
+        # process_tiled) so specializations stay logarithmic across sizes
+        per_dev = -(-valid // n_dev)
+        bucket = 1
+        while bucket < per_dev:
+            bucket *= 2
+        # target must stay a multiple of n_dev (shard divisibility); with a
+        # batch_tiles cap it also stays <= step (itself n_dev-aligned)
+        target = (bucket * n_dev if batch_tiles is None
+                  else min(step, bucket * n_dev))
+        if valid < target:
+            chunk = jnp.concatenate(
+                [chunk, jnp.repeat(chunk[-1:], target - valid, axis=0)],
+                axis=0)
+        chunk = jax.device_put(chunk, sharding)
+        chunks.append(model_fn(chunk)[:valid])
+    out_tiles = (chunks[0] if len(chunks) == 1
+                 else jnp.concatenate(chunks, axis=0))
     out = stitch_tiles(out_tiles, ny, nx, tile_size * scale, halo * scale)
     return out[:orig_h * scale, :orig_w * scale, :]
 

@@ -136,7 +136,11 @@ class SuperResolutionPipeline:
             try:
                 return process_tiled_sharded(
                     model_fn, image, mesh, tile_size=tile_size, halo=halo,
-                    scale=scale)
+                    scale=scale,
+                    batch_tiles=self.config.get("tile_batch"),
+                    cancel_check=self._cancel_check())
+            except (EnhancementCancelled, TilingCancelled):
+                raise
             except Exception as exc:  # noqa: BLE001 - ladder
                 logger.warning("Sharded tile path failed (%s); falling back "
                                "to single-device tiling", exc)
@@ -306,6 +310,9 @@ class SuperResolutionPipeline:
             except Exception as exc:
                 logger.error("Error loading Stable Diffusion upscaler: %s", exc)
                 cfg["use_diffusion"] = False
+                # Re-resolve the device layout: the split mesh reserved
+                # chips for a diffusion branch that will never run.
+                self._dp_state = None
 
         if cfg["segment_enhancement"] and "segmentation" not in self.models:
             try:
