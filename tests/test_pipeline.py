@@ -157,6 +157,26 @@ def test_data_parallel_auto_matches_off(tmp_path, tiny_ckpt, test_image):
     assert np.array_equal(out_auto, out_off)
 
 
+def test_sharded_failure_degrades_to_single_device(tmp_path, tiny_ckpt,
+                                                   test_image, monkeypatch):
+    """A failing sharded dispatch ladders to the single-device tile path —
+    but cancellation must NOT be swallowed by that rung."""
+    from neural_enhanced_super_resolution_tpu.parallel import sharded
+
+    def boom(*a, **k):
+        raise RuntimeError("injected sharded failure")
+
+    monkeypatch.setattr(sharded, "process_tiled_sharded", boom)
+    img = test_image[:96, :96]
+    kw = dict(adaptive_sharpening=False, enable_tiling=True,
+              max_megapixels=0.001, max_tile_size=48)
+    out = _mk_pipeline(tmp_path, tiny_ckpt, data_parallel="auto",
+                       **kw).enhance_array(img)
+    ref = _mk_pipeline(tmp_path, tiny_ckpt, data_parallel="off",
+                       **kw).enhance_array(img)
+    assert np.array_equal(out, ref)
+
+
 def test_parallel_layout_splits_for_diffusion_overlap(tmp_path, tiny_ckpt):
     """With use_diffusion + stage_overlap on a multi-device host, the layout
     reserves a remainder device for the denoise loop (real stage overlap)."""
