@@ -421,9 +421,17 @@ def load_swinir(path: str | None = None,
         ws = (int(math.isqrt(table)) + 1) // 2
         hidden = params[
             "layers.0.residual_group.blocks.0.mlp.fc1.weight"].shape[-1]
-        upsampler = ("pixelshuffle" if "upsample.0.weight" in params
-                     else "nearest+conv")
+        if "upsample.0.weight" in params:
+            upsampler = "pixelshuffle"
+            # one conv per 2x stage at indices 0, 2, 4, ...
+            n2x = 1 + max(int(k.split(".")[1]) for k in params
+                          if k.startswith("upsample.")) // 2
+            scale = 2 ** n2x
+        else:
+            upsampler = "nearest+conv"   # real-world head is fixed x4
+            scale = 4
         cfg = SwinIRConfig(
+            scale=scale,
             embed_dim=c, depths=(depth,) * nl, num_heads=(heads,) * nl,
             window_size=ws, mlp_ratio=hidden / c, upsampler=upsampler,
             num_feat=params["conv_last.weight"].shape[2])

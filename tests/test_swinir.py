@@ -86,6 +86,23 @@ def test_swinir_state_dict_roundtrip(tmp_path):
     assert model2.cfg.depths == TINY.depths
     assert model2.cfg.window_size == TINY.window_size
     assert model2.cfg.upsampler == "nearest+conv"
+    assert model2.cfg.scale == 4
+
+
+def test_swinir_cfg_inference_pixelshuffle_x2(tmp_path):
+    """A classical x2 pixelshuffle checkpoint infers scale=2 from the
+    upsample conv indices (one conv per 2x stage)."""
+    from neural_enhanced_super_resolution_tpu.models.swinir import (
+        load_swinir)
+
+    params = init_swinir(jax.random.PRNGKey(4), TINY_PS)
+    path = str(tmp_path / "swinir_ps_x2.pth")
+    torch.save({"params": _to_torch_sd(params)}, path)
+    model = load_swinir(path, compute_dtype="float32")
+    assert model.cfg.upsampler == "pixelshuffle"
+    assert model.cfg.scale == 2
+    out = model.upscale_batch(np.zeros((1, 8, 8, 3), np.uint8))
+    assert out.shape == (1, 16, 16, 3)
 
 
 def test_swinir_param_spec_matches_init():
