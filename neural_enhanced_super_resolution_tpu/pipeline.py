@@ -125,10 +125,15 @@ class SuperResolutionPipeline:
         return self._dp_state
 
     def _run_tiled(self, model_fn, image, tile_size: int, halo: int,
-                   scale: int):
+                   scale: int, batch_tiles: int | None = None):
         """Tile-batch execution: sharded over the DP mesh when one is active,
         single-device batched otherwise. Falls back to the single-device path
-        if the sharded dispatch fails (graceful-degradation ladder)."""
+        if the sharded dispatch fails (graceful-degradation ladder).
+
+        batch_tiles overrides the config tile_batch for branches whose
+        per-tile HBM footprint differs from the CNN trunk's (SwinIR)."""
+        if batch_tiles is None:
+            batch_tiles = self.config.get("tile_batch")
         mesh = self._parallel_layout()["mesh"]
         if mesh is not None:
             from neural_enhanced_super_resolution_tpu.parallel.sharded import (
@@ -137,7 +142,7 @@ class SuperResolutionPipeline:
                 return process_tiled_sharded(
                     model_fn, image, mesh, tile_size=tile_size, halo=halo,
                     scale=scale,
-                    batch_tiles=self.config.get("tile_batch"),
+                    batch_tiles=batch_tiles,
                     cancel_check=self._cancel_check())
             except (EnhancementCancelled, TilingCancelled):
                 raise
@@ -146,7 +151,7 @@ class SuperResolutionPipeline:
                                "to single-device tiling", exc)
         return process_tiled(model_fn, image, tile_size=tile_size, halo=halo,
                              scale=scale,
-                             batch_tiles=self.config.get("tile_batch"),
+                             batch_tiles=batch_tiles,
                              cancel_check=self._cancel_check())
 
     # ------------------------------------------------------------- models --
@@ -527,10 +532,16 @@ class SuperResolutionPipeline:
             tile = min(int(self.config["max_tile_size"]), 256)
             if max(h, w) <= 2 * tile:
                 return model.upscale_batch(image[None])[0]
+            # SwinIR's per-block glue (f32 scores, softmax, window
+            # transposes) is HBM-bound and scales with batch, so unlike
+            # the CNN trunk (optimum 16) its measured optimum at 288-px
+            # tiles is batch 1 (benchmarks/swinir_batch_sweep.py:
+            # 6.89 / 6.55 / 6.17 MP_out/s at b=1/2/4 on v5e).
             return self._run_tiled(
                 model.upscale_batch, image, tile_size=tile,
                 halo=self.config.get("tile_halo", 16),
-                scale=model.cfg.scale)
+                scale=model.cfg.scale,
+                batch_tiles=int(self.config.get("swinir_tile_batch", 1)))
         except (EnhancementCancelled, TilingCancelled):
             raise EnhancementCancelled("cancelled during SwinIR")
         except Exception as exc:  # noqa: BLE001 - ladder

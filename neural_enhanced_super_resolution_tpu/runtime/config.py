@@ -94,6 +94,11 @@ def default_config() -> dict[str, Any]:
         # reference's unimplemented placeholder. Off by default to match
         # the reference's default config (nesr.py:37).
         "swinir_model_path": None,
+        # SwinIR tiles at batch 1: its HBM-bound attention glue scales
+        # with batch (measured 6.89/6.55/6.17 MP_out/s at b=1/2/4 on
+        # 288-px tiles, benchmarks/swinir_batch_sweep.py) — the trunk's
+        # tile_batch=16 would cost the branch ~15-25%.
+        "swinir_tile_batch": 1,
         "diffusion_model_path": None,
         "segmentation_model_path": None,
         "num_inference_steps": None,  # None -> per-device default (10/20)

@@ -183,6 +183,58 @@ def test_pipeline_swinir_sharded_matches_single(tmp_path, test_image):
     assert np.array_equal(outs["auto"], outs["off"])
 
 
+def test_swinir_branch_uses_own_tile_batch(tmp_path, test_image):
+    """The SwinIR branch tiles at swinir_tile_batch (default 1), not the
+    trunk's tile_batch=16: its HBM-bound attention glue scales with batch
+    (measured optimum b=1 at 288-px tiles, swinir_batch_sweep.py)."""
+    from neural_enhanced_super_resolution_tpu import SuperResolutionPipeline
+
+    pipe = SuperResolutionPipeline(device="cpu", config={
+        "iterations": 1, "use_diffusion": False,
+        "segment_enhancement": False, "use_esrgan": False,
+        "use_swinir": True, "denoise_level": 0,
+        "adaptive_sharpening": False, "data_parallel": "off",
+        "enable_tiling": True, "max_megapixels": 0.0001,
+        "max_tile_size": 16, "tile_halo": 4,
+        "output_dir": str(tmp_path / "out")})
+    pipe.models["swinir"] = SwinIRModel(
+        init_swinir(jax.random.PRNGKey(0), TINY), TINY, "float32")
+    assert pipe.config["tile_batch"] == 16        # trunk default untouched
+    seen = {}
+    orig = pipe._run_tiled
+
+    def spy(model_fn, image, **kw):
+        seen.update(kw)
+        return orig(model_fn, image, **kw)
+
+    pipe._run_tiled = spy
+    out = pipe.enhance_array(test_image[:64, :64])
+    assert out.shape == (256, 256, 3)
+    assert seen.get("batch_tiles") == 1
+
+    # and the override key is honoured
+    pipe2 = SuperResolutionPipeline(device="cpu", config={
+        "iterations": 1, "use_diffusion": False,
+        "segment_enhancement": False, "use_esrgan": False,
+        "use_swinir": True, "denoise_level": 0,
+        "adaptive_sharpening": False, "data_parallel": "off",
+        "enable_tiling": True, "max_megapixels": 0.0001,
+        "max_tile_size": 16, "tile_halo": 4, "swinir_tile_batch": 4,
+        "output_dir": str(tmp_path / "out2")})
+    pipe2.models["swinir"] = pipe.models["swinir"]
+    seen2 = {}
+    orig2 = pipe2._run_tiled
+
+    def spy2(model_fn, image, **kw):
+        seen2.update(kw)
+        return orig2(model_fn, image, **kw)
+
+    pipe2._run_tiled = spy2
+    out2 = pipe2.enhance_array(test_image[:64, :64])
+    assert seen2.get("batch_tiles") == 4
+    assert np.array_equal(out, out2)   # batch size never changes pixels
+
+
 def test_pipeline_swinir_missing_weights_degrades(tmp_path, test_image):
     """No checkpoint -> feature disabled, pipeline continues (ladder)."""
     from neural_enhanced_super_resolution_tpu import SuperResolutionPipeline
