@@ -85,7 +85,7 @@ def _conv3x3_impl(x, w2d, bias, block_rows, negative_slope, apply_act,
         out_shape=jax.ShapeDtypeStruct((n, h + ph, w, cout), x.dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
             pl.BlockSpec((9 * cin, cout), lambda n_, i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cout,), lambda n_, i: (0,),
