@@ -212,6 +212,7 @@ def config_5_full_pipeline(iterations=3):
             "warm_process_s": runs["warm"]["seconds"],
             "iterations": runs["warm"]["iterations"],
             "output_mp": runs["warm"]["output_mp"],
+            "stages": runs["warm"].get("stages", {}),
             "weights": "synthetic"}
 
 
@@ -241,9 +242,12 @@ def config_5_inner(iterations=3):
     t0 = time.perf_counter()
     out = pipe.enhance_array(img, iterations=iterations)
     seconds = time.perf_counter() - t0
+    stages = {k: round(v, 2) for k, v in sorted(
+        pipe.timer.report().items(), key=lambda kv: -kv[1])}
     return {"config": "full_pipeline_3iter", "seconds": round(seconds, 2),
             "iterations": iterations,
             "output_mp": round(out.shape[0] * out.shape[1] / 1e6, 2),
+            "stages": stages,
             "weights": "synthetic"}
 
 

@@ -318,11 +318,33 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
         return jnp.where(x >= 0, x, 0.2 * x)
 
     def kernel(in_ref, h1_ref, h2_ref, w0, w1, w2, w3, w4, b_ref, o_ref,
-               b0, d0, d1, d2, d3, d4, a2, a3, a4, a5, ob):
+               b0, d0, d1, d2, d3, d4, a2, a3, a4, a5, ob, *maybe_sems):
         wb = pl.program_id(1)
         gi = pl.program_id(2)
         dks = (d0, d1, d2, d3, d4)
         aks = (None, None, a2, a3, a4, a5)
+
+        def carry_copies():
+            """v3: the 11 rolling-carry moves as async (DMA-engine) copies.
+
+            Descriptors are rebuilt identically at start (end of step g) and
+            wait (prologue of step g+1) — the documented cross-step Pallas
+            DMA pattern. Sources are rows written during step g; nothing
+            touches them until the matching wait, so values equal v2's
+            synchronous prologue copies exactly."""
+            sems = maybe_sems[0]
+            cps = [pltpu.make_async_copy(b0.at[bh:bh + 5], b0.at[0:5],
+                                         sems.at[0])]
+            for i, dk in enumerate(dks):
+                cps.append(pltpu.make_async_copy(
+                    dk.at[bh:bh + 2], dk.at[0:2], sems.at[1 + i]))
+            for j, (m, ak) in enumerate(((2, a2), (3, a3), (4, a4),
+                                         (5, a5))):
+                cps.append(pltpu.make_async_copy(
+                    ak.at[bh:bh + m - 1], ak.at[0:m - 1], sems.at[6 + j]))
+            cps.append(pltpu.make_async_copy(ob.at[bh:ro], ob.at[0:ro - bh],
+                                             sems.at[10]))
+            return cps
 
         # ---- prologue: reset at the start of each (n, column-block) walk
         @pl.when(gi == 0)
@@ -330,14 +352,23 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
             for ref in (b0, d0, d1, d2, d3, d4, a2, a3, a4, a5, ob):
                 ref[:] = jnp.zeros_like(ref)
 
-        @pl.when(gi > 0)
-        def _():
-            b0[0:5] = b0[bh:bh + 5]
-            for dk in dks:
-                dk[0:2] = dk[bh:bh + 2]
-            for m, ak in ((2, a2), (3, a3), (4, a4), (5, a5)):
-                ak[0:m - 1] = ak[bh:bh + m - 1]
-            ob[0:ro - bh] = ob[bh:ro]
+        if variant == "v3":
+            # carries were STARTED at the end of the previous step and ran
+            # on the DMA engines across the step boundary; only the waits
+            # (cheap when already complete) sit on the critical path.
+            @pl.when(gi > 0)
+            def _():
+                for cp in carry_copies():
+                    cp.wait()
+        else:
+            @pl.when(gi > 0)
+            def _():
+                b0[0:5] = b0[bh:bh + 5]
+                for dk in dks:
+                    dk[0:2] = dk[bh:bh + 2]
+                for m, ak in ((2, a2), (3, a3), (4, a4), (5, a5)):
+                    ak[0:m - 1] = ak[bh:bh + m - 1]
+                ob[0:ro - bh] = ob[bh:ro]
 
         # ---- ingest input rows [X-bh, X): residual buffer + conv0 windows
         b0[5:5 + bh, 0:wbw] = in_ref[0]
@@ -396,14 +427,20 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
             dk[0:bh, 1:wbp - 1, g2 + g:2 * g2] = xk[:, :, 0:g]
 
         def slot_add(m, k, slab, first):
-            """Accumulate stage k's slab into slot m (bf16, f32 adds)."""
+            """Accumulate stage k's slab into slot m (bf16, f32 adds).
+
+            Content lanes only (0:width): under v3 the g2-wide slot buffers
+            are padded to 128 lanes so their carry DMAs meet Mosaic's
+            lane-tiling alignment; pad lanes stay zero from the step-0
+            reset and are never read."""
             ak = aks[m]
+            cw = slab.shape[-1]
             lo, hi = 1, wbp - 1
             if first:
-                ak[m - k:m - k + bh, lo:hi, :] = slab.astype(jnp.bfloat16)
+                ak[m - k:m - k + bh, lo:hi, 0:cw] = slab.astype(jnp.bfloat16)
             else:
-                ak[m - k:m - k + bh, lo:hi, :] = (
-                    ak[m - k:m - k + bh, lo:hi, :].astype(jnp.float32)
+                ak[m - k:m - k + bh, lo:hi, 0:cw] = (
+                    ak[m - k:m - k + bh, lo:hi, 0:cw].astype(jnp.float32)
                     + slab).astype(jnp.bfloat16)
 
         def kc(dk, wk):
@@ -428,7 +465,7 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
         bias = b_ref[0]
         f32 = jnp.float32
 
-        if variant == "v2":
+        if variant in ("v2", "v3"):
             # ---- stage 1: conv0 (x -> all slabs), one dot N = 12g
             s0 = kc(d0, w0)
             emit_stage(1, lrelu(s0[:, :, 0:g2].astype(f32) + bias[0:g2]))
@@ -439,7 +476,7 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
 
             # ---- stage 2: conv1 (x1 -> x2..x5), one dot N = 10g
             s1 = kc(d1, w1)
-            emit_stage(2, lrelu(a2[0:bh, 1:wbp - 1, :].astype(f32)
+            emit_stage(2, lrelu(a2[0:bh, 1:wbp - 1, 0:g2].astype(f32)
                                 + s1[:, :, 0:g2].astype(f32)
                                 + bias[g2:2 * g2]))
             slot_add(3, 2, s1[:, :, g2:2 * g2], False)
@@ -448,7 +485,7 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
 
             # ---- stage 3: conv2 (x2 -> x3..x5), one dot N = 8g
             s2 = kc(d2, w2)
-            emit_stage(3, lrelu(a3[0:bh, 1:wbp - 1, :].astype(f32)
+            emit_stage(3, lrelu(a3[0:bh, 1:wbp - 1, 0:g2].astype(f32)
                                 + s2[:, :, 0:g2].astype(f32)
                                 + bias[2 * g2:3 * g2]))
             slot_add(4, 3, s2[:, :, g2:2 * g2], False)
@@ -456,7 +493,7 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
 
             # ---- stage 4: conv3 (x3 -> x4, x5), one dot N = 6g
             s3 = kc(d3, w3)
-            emit_stage(4, lrelu(a4[0:bh, 1:wbp - 1, :].astype(f32)
+            emit_stage(4, lrelu(a4[0:bh, 1:wbp - 1, 0:g2].astype(f32)
                                 + s3[:, :, 0:g2].astype(f32)
                                 + bias[3 * g2:4 * g2]))
             slot_add(5, 4, s3[:, :, g2:], False)
@@ -476,7 +513,7 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
 
             # ---- stage 2: conv1 (x1 -> x2..x5), N = 10g in 2 chunks
             c11 = conv(d1, w1, 2, 0, 4 * g)              # [x2 | x3]
-            x2 = lrelu(a2[0:bh, 1:wbp - 1, :].astype(jnp.float32)
+            x2 = lrelu(a2[0:bh, 1:wbp - 1, 0:g2].astype(jnp.float32)
                        + c11[:, :, 0:g2] + bias[g2:2 * g2])
             emit_stage(2, x2)
             slot_add(3, 2, c11[:, :, g2:2 * g2], False)
@@ -486,7 +523,7 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
 
             # ---- stage 3: conv2 (x2 -> x3..x5), N = 8g in 2 chunks
             c21 = conv(d2, w2, 3, 0, 4 * g)              # [x3 | x4]
-            x3 = lrelu(a3[0:bh, 1:wbp - 1, :].astype(jnp.float32)
+            x3 = lrelu(a3[0:bh, 1:wbp - 1, 0:g2].astype(jnp.float32)
                        + c21[:, :, 0:g2] + bias[2 * g2:3 * g2])
             emit_stage(3, x3)
             slot_add(4, 3, c21[:, :, g2:2 * g2], False)
@@ -495,7 +532,7 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
 
             # ---- stage 4: conv3 (x3 -> x4, x5), N = 6g in 1 chunk
             c31 = conv(d3, w3, 4, 0, 6 * g)
-            x4 = lrelu(a4[0:bh, 1:wbp - 1, :].astype(jnp.float32)
+            x4 = lrelu(a4[0:bh, 1:wbp - 1, 0:g2].astype(jnp.float32)
                        + c31[:, :, 0:g2] + bias[3 * g2:4 * g2])
             emit_stage(4, x4)
             slot_add(5, 4, c31[:, :, g2:], False)
@@ -503,7 +540,7 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
             # ---- stage 5: conv4 (x4 -> x5) + residual output
             c41 = conv(d4, w4, 5, 0, 2 * c)
 
-        x5 = (a5[0:bh, 1:wbp - 1, :].astype(jnp.float32) + c41
+        x5 = (a5[0:bh, 1:wbp - 1, 0:c2].astype(jnp.float32) + c41
               + bias[4 * g2:])
         res = (b0[0:bh, 1:wbp - 1, :].astype(jnp.float32)
                + 0.2 * x5)
@@ -513,6 +550,12 @@ def _mk_kernel(*, bh, wbw, a, w, c, g, nsteps, variant="v1"):
 
         # ---- emit output block g-1 (step 0 emits the all-zero last block)
         o_ref[0] = ob[0:bh, 8:8 + wbw]
+
+        if variant == "v3":
+            @pl.when(gi < nsteps - 1)
+            def _():
+                for cp in carry_copies():
+                    cp.start()
 
     return kernel
 
@@ -542,7 +585,7 @@ def rdb_dform_call(x: jax.Array, wd: dict, a: int, w: int, bh: int = 8,
 
     kern = _mk_kernel(bh=bh, wbw=wbw, a=a, w=w, c=c, g=g, nsteps=nsteps,
                       variant=variant)
-    if variant == "v2":
+    if variant in ("v2", "v3"):
         # (3, 4Cin, N) -> (12Cin, N): K-major concat of the three column
         # shifts, matching the kernel's lhs build order.
         wd = dict(wd, **{f"w{i}": wd[f"w{i}"].reshape(
@@ -552,6 +595,10 @@ def rdb_dform_call(x: jax.Array, wd: dict, a: int, w: int, bh: int = 8,
              for i in range(5)]
     bias2d = wd["b"][None, :]
     assert wbw % 8 == 0 and wf == 8 + nwb * wbw + 8
+    # Under v3 the g2-wide slot buffers pad their lane dim to a 128
+    # multiple: Mosaic requires DMA slices lane-aligned to the (8,128)
+    # tiling, and the carry DMAs copy full buffer width.
+    ga = (-(-g2 // 128) * 128 if variant == "v3" and not interpret else g2)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n, ap, nwb * wbw, c2), jnp.bfloat16),
@@ -585,12 +632,12 @@ def rdb_dform_call(x: jax.Array, wd: dict, a: int, w: int, bh: int = 8,
             pltpu.VMEM((bh + 2, wbp, 2 * g2), jnp.bfloat16),      # d2
             pltpu.VMEM((bh + 2, wbp, 2 * g2), jnp.bfloat16),      # d3
             pltpu.VMEM((bh + 2, wbp, 2 * g2), jnp.bfloat16),      # d4
-            pltpu.VMEM((bh + 1, wbp, g2), jnp.bfloat16),          # a2
-            pltpu.VMEM((bh + 2, wbp, g2), jnp.bfloat16),          # a3
-            pltpu.VMEM((bh + 3, wbp, g2), jnp.bfloat16),          # a4
+            pltpu.VMEM((bh + 1, wbp, ga), jnp.bfloat16),          # a2
+            pltpu.VMEM((bh + 2, wbp, ga), jnp.bfloat16),          # a3
+            pltpu.VMEM((bh + 3, wbp, ga), jnp.bfloat16),          # a4
             pltpu.VMEM((bh + 4, wbp, c2), jnp.bfloat16),          # a5
             pltpu.VMEM((ro, wbp, c2), jnp.bfloat16),              # ob
-        ],
+        ] + ([pltpu.SemaphoreType.DMA((11,))] if variant == "v3" else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,

@@ -11,19 +11,24 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["rgb_to_bgr", "bgr_to_rgb", "rgb_to_gray", "rgb_to_lab", "lab_to_rgb"]
 
 # D65 white point, sRGB primaries — the matrices OpenCV uses for Lab.
-_RGB2XYZ = jnp.array(
+# Host numpy constants (jit constant-folds them): creating jnp arrays at
+# import time would initialise the XLA backend before a multi-host caller
+# can run jax.distributed.initialize (tests/test_distributed.py
+# test_two_process_dcn_end_to_end caught exactly that).
+_RGB2XYZ = np.array(
     [[0.412453, 0.357580, 0.180423],
      [0.212671, 0.715160, 0.072169],
-     [0.019334, 0.119193, 0.950227]], dtype=jnp.float32)
-_XYZ2RGB = jnp.array(
+     [0.019334, 0.119193, 0.950227]], dtype=np.float32)
+_XYZ2RGB = np.array(
     [[3.240479, -1.53715, -0.498535],
      [-0.969256, 1.875991, 0.041556],
-     [0.055648, -0.204043, 1.057311]], dtype=jnp.float32)
-_WHITE = jnp.array([0.950456, 1.0, 1.088754], dtype=jnp.float32)
+     [0.055648, -0.204043, 1.057311]], dtype=np.float32)
+_WHITE = np.array([0.950456, 1.0, 1.088754], dtype=np.float32)
 
 
 def rgb_to_bgr(img: jax.Array) -> jax.Array:

@@ -31,8 +31,8 @@ from neural_enhanced_super_resolution_tpu.ops.pointwise import (
     subtract as _subtract, threshold_binary as _threshold_binary)
 from neural_enhanced_super_resolution_tpu.ops.resize import resize as _resize_fn
 
-__all__ = ["preprocess", "unsharp_mask", "masked_sharpen", "adaptive_sharpen",
-           "ensemble"]
+__all__ = ["preprocess", "denoise_stage", "contrast_stage", "unsharp_mask",
+           "masked_sharpen", "adaptive_sharpen", "ensemble"]
 
 # ---------------------------------------------------------------------------
 # Fixed-shape tiled routing for LOCAL stages.
@@ -55,11 +55,17 @@ _OP_TILE = 512
 _OP_HALO = 16
 
 
-def _tiled_unit_op(fn, img, *extra_channels):
+def _tiled_unit_op(fn, img, *extra_channels, batch_tiles=32, tail="full"):
     """Run a local (H, W, C)->(H, W, C) op via the fixed-tile path.
 
     extra_channels: additional (H, W) planes (e.g. a segmentation mask)
     stacked onto the tile so the op sees matching tile crops.
+    batch_tiles/tail bound the jit-specialization count: with tail="full"
+    every large image runs the SAME (32, 544, 544, ·) program regardless of
+    size or iteration — on remote/tunnel TPU hosts each extra executable
+    costs first-execution seconds per process (RESULTS.md round-4
+    warm-serving study). Expensive-per-tile ops (NL-means) pass
+    tail="bucket" so small images don't pay 31 padded tiles of real work.
     """
     from neural_enhanced_super_resolution_tpu.parallel.tiling import (
         process_tiled)
@@ -83,7 +89,8 @@ def _tiled_unit_op(fn, img, *extra_channels):
         return jax.vmap(one)(tiles)
 
     return process_tiled(tile_fn, packed, tile_size=_OP_TILE, halo=_OP_HALO,
-                         scale=1)[..., :c]
+                         scale=1, batch_tiles=batch_tiles,
+                         tail=tail)[..., :c]
 
 
 @jax.jit
@@ -96,6 +103,54 @@ def _clahe_contrast(img) -> jax.Array:
     return _lab_to_rgb(lab)
 
 
+def denoise_stage(img, denoise_level: float = 0.5,
+                  max_megapixels: float | None = None) -> jax.Array:
+    """NL-means denoise (h = level*10), the first half of _preprocess_image
+    (/root/reference/nesr/nesr.py:671-676).
+
+    max_megapixels (None = off) caps the resolution NL-means runs at — the
+    denoise analog of the reference's <=1024 px segmentation-inference cap
+    (nesr.py:704-709). Above the cap, the noise residual is estimated at the
+    capped scale and transferred: out = img - up(small - nlmeans(small)).
+    This is principled for the pipeline's late iterations, whose frames are
+    model-upscaled so any surviving noise is band-limited below the new
+    Nyquist — exactly the band a downscaled residual preserves. Quality gate:
+    tests/test_quality.py::test_denoise_cap_quality.
+    """
+    img = jnp.asarray(img)
+    strength = float(denoise_level) * 10.0
+    fn = functools.partial(_nl_means_colored, h=strength, h_color=strength,
+                           template=7, search=21)
+    h, w = int(img.shape[0]), int(img.shape[1])
+    mp = h * w / 1e6
+    if max_megapixels is None or mp <= float(max_megapixels):
+        return _tiled_unit_op(fn, img, tail="bucket")
+    # integer shrink factor keeps the resample kernels clean (area-average
+    # down, bilinear residual up)
+    factor = 2
+    while mp / (factor * factor) > float(max_megapixels) and factor < 8:
+        factor *= 2
+    sh, sw = h // factor, w // factor
+    small = _resize_fn(img, dsize=(sw, sh), interpolation="area")
+    den_small = _tiled_unit_op(fn, small, tail="bucket")
+    return _denoise_residual_apply(img, small, den_small)
+
+
+@jax.jit
+def _denoise_residual_apply(img, small, den_small) -> jax.Array:
+    resid = small.astype(jnp.float32) - den_small.astype(jnp.float32)
+    h, w = img.shape[0], img.shape[1]
+    resid_up = _resize_fn(resid, dsize=(w, h), interpolation="bilinear")
+    out = img.astype(jnp.float32) - resid_up
+    return jnp.clip(jnp.round(out), 0, 255).astype(img.dtype)
+
+
+def contrast_stage(img) -> jax.Array:
+    """CLAHE(2.0, 8x8) on the LAB L channel, the second half of
+    _preprocess_image (nesr.py:679-687)."""
+    return _clahe_contrast(img)
+
+
 def preprocess(img, denoise_level: float = 0.5) -> jax.Array:
     """Denoise (NL-means, h = level*10) then CLAHE(2.0, 8x8) on the LAB L channel.
 
@@ -104,10 +159,7 @@ def preprocess(img, denoise_level: float = 0.5) -> jax.Array:
     """
     img = jnp.asarray(img)
     if denoise_level > 0:
-        strength = float(denoise_level) * 10.0
-        img = _tiled_unit_op(
-            functools.partial(_nl_means_colored, h=strength,
-                              h_color=strength, template=7, search=21), img)
+        img = denoise_stage(img, denoise_level)
     return _clahe_contrast(img)
 
 

@@ -41,8 +41,8 @@ def process_tiled_sharded(model_fn: Callable, image, mesh: Mesh,
                           tile_size: int = 512, halo: int = 16,
                           scale: int = 2, axis_name: str = "dp",
                           batch_tiles: int | None = None,
-                          cancel_check: Callable[[], bool] | None = None
-                          ) -> jax.Array:
+                          cancel_check: Callable[[], bool] | None = None,
+                          tail: str = "bucket") -> jax.Array:
     """Tile-batch DP over a device mesh.
 
     The tile batch is padded up to a multiple of the mesh size (repeating the
@@ -82,9 +82,14 @@ def process_tiled_sharded(model_fn: Callable, image, mesh: Mesh,
         while bucket < per_dev:
             bucket *= 2
         # target must stay a multiple of n_dev (shard divisibility); with a
-        # batch_tiles cap it also stays <= step (itself n_dev-aligned)
-        target = (bucket * n_dev if batch_tiles is None
-                  else min(step, bucket * n_dev))
+        # batch_tiles cap it also stays <= step (itself n_dev-aligned).
+        # tail="full" pads to the full per-chunk size so one executable
+        # covers every image size (same policy as tiling.process_tiled).
+        if tail == "full" and batch_tiles is not None:
+            target = step
+        else:
+            target = (bucket * n_dev if batch_tiles is None
+                      else min(step, bucket * n_dev))
         if valid < target:
             chunk = jnp.concatenate(
                 [chunk, jnp.repeat(chunk[-1:], target - valid, axis=0)],

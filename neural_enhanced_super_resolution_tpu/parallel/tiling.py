@@ -34,7 +34,8 @@ from neural_enhanced_super_resolution_tpu.ops.resize import resize as _resize
 logger = logging.getLogger("nesr.tiling")
 
 __all__ = ["pad_to_grid", "extract_tiles", "stitch_tiles", "process_tiled",
-           "process_with_tiling_parity", "TilingCancelled"]
+           "process_tiled_to_host", "process_with_tiling_parity",
+           "TilingCancelled"]
 
 
 def pad_to_grid(image: jax.Array, tile: int) -> tuple[jax.Array, int, int]:
@@ -84,6 +85,17 @@ def stitch_tiles(tiles: jax.Array, ny: int, nx: int, tile_out: int,
     return core.reshape(ny * tile_out, nx * tile_out, c)
 
 
+def _bucket(k: int, cap: int) -> int:
+    """Smallest power-of-two >= k, capped — so a 6-tile image runs an
+    8-tile program instead of padding to the full 16-tile batch (62%
+    wasted trunk compute for small serving inputs). Buckets keep the
+    jit-specialization count logarithmic and every bucket caches."""
+    b = 1
+    while b < k:
+        b *= 2
+    return min(b, cap)
+
+
 class TilingCancelled(Exception):
     """Raised between tile-batch chunks when the caller's cancel_check fires.
 
@@ -95,8 +107,8 @@ class TilingCancelled(Exception):
 def process_tiled(model_fn: Callable[[jax.Array], jax.Array], image,
                   tile_size: int = 512, halo: int = 16, scale: int = 2,
                   batch_tiles: int | None = None,
-                  cancel_check: Callable[[], bool] | None = None
-                  ) -> jax.Array:
+                  cancel_check: Callable[[], bool] | None = None,
+                  tail: str = "bucket") -> jax.Array:
     """Batched-uniform tiled processing (the TPU-fast path).
 
     Args:
@@ -111,6 +123,15 @@ def process_tiled(model_fn: Callable[[jax.Array], jax.Array], image,
             (bounds peak HBM); None = all tiles in one batch.
         cancel_check: optional callable polled before each chunk; a True
             return raises TilingCancelled (cooperative mid-stage stop).
+        tail: "bucket" pads partial chunks to a power-of-two bucket
+            (logarithmic jit specializations — cheapest compute for small
+            serving inputs); "full" pads every chunk to batch_tiles so ONE
+            executable covers every image size. On remote-compile/tunnel
+            TPU hosts each additional big executable costs seconds of
+            first-execution load per process, which dwarfs the padded
+            tiles' compute (benchmarks/RESULTS.md round-4 warm-serving
+            study), so the TPU pipeline default is "full"
+            (runtime/config.py tile_tail).
 
     Returns:
         (H*scale, W*scale, C') on-device array.
@@ -137,29 +158,20 @@ def process_tiled(model_fn: Callable[[jax.Array], jax.Array], image,
         tiles = extract_tiles(padded, tile_size, halo)
     n = tiles.shape[0]
 
-    def _bucket(k: int, cap: int) -> int:
-        """Smallest power-of-two >= k, capped — so a 6-tile image runs an
-        8-tile program instead of padding to the full 16-tile batch (62%
-        wasted trunk compute for small serving inputs). Buckets keep the
-        jit-specialization count logarithmic and every bucket caches."""
-        b = 1
-        while b < k:
-            b *= 2
-        return min(b, cap)
-
     if batch_tiles is None:
         out_tiles = model_fn(tiles)
     else:
         chunks = []
         # Full chunks run at batch_tiles (one hot specialization); the tail
-        # (or a small image's only chunk) pads to a power-of-two bucket.
+        # (or a small image's only chunk) pads per the tail policy.
         for start in range(0, n, batch_tiles):
             if cancel_check is not None and cancel_check():
                 raise TilingCancelled(
                     f"cancelled at tile {start}/{n}")
             chunk = tiles[start:start + batch_tiles]
             valid = chunk.shape[0]
-            bucket = _bucket(valid, batch_tiles)
+            bucket = (batch_tiles if tail == "full"
+                      else _bucket(valid, batch_tiles))
             if valid < bucket:
                 pad_n = bucket - valid
                 chunk = jnp.concatenate(
@@ -170,6 +182,86 @@ def process_tiled(model_fn: Callable[[jax.Array], jax.Array], image,
 
     out = stitch_tiles(out_tiles, ny, nx, tile_size * scale, halo * scale)
     return out[:orig_h * scale, :orig_w * scale, :]
+
+
+def process_tiled_to_host(model_fn: Callable[[jax.Array], jax.Array], image,
+                          tile_size: int = 512, halo: int = 16,
+                          scale: int = 2, batch_tiles: int = 16,
+                          cancel_check: Callable[[], bool] | None = None,
+                          tail: str = "full",
+                          fetch_threads: int = 4) -> np.ndarray:
+    """Tiled processing that lands directly in HOST memory, overlapping each
+    chunk's device->host fetch with the next chunks' compute.
+
+    The plain path computes the whole output on device and fetches it at the
+    end — on tunnel-attached TPUs that final fetch runs ~23 MB/s and is the
+    single largest cost of a big enhancement (benchmarks/RESULTS.md round-4
+    D2H study). Here chunk i's halo-cropped output tiles stream to the host
+    canvas on fetch threads while chunks i+1.. execute, so fetch time hides
+    under compute (and vice versa). Output is bit-identical to
+    ``np.asarray(process_tiled(...))`` with the same tail policy.
+    """
+    import concurrent.futures
+
+    if isinstance(image, np.ndarray) and image.dtype == np.uint8:
+        from neural_enhanced_super_resolution_tpu.runtime import native
+        orig_h, orig_w = image.shape[0], image.shape[1]
+        ph_pad = (-orig_h) % tile_size
+        pw_pad = (-orig_w) % tile_size
+        if ph_pad or pw_pad:
+            image = np.pad(image, ((0, ph_pad), (0, pw_pad), (0, 0)),
+                           mode="reflect")
+        ny = image.shape[0] // tile_size
+        nx = image.shape[1] // tile_size
+        tiles = jnp.asarray(native.extract_tiles_u8(image, tile_size, halo))
+    else:
+        image = jnp.asarray(image)
+        padded, orig_h, orig_w = pad_to_grid(image, tile_size)
+        ny = int(padded.shape[0]) // tile_size
+        nx = int(padded.shape[1]) // tile_size
+        tiles = extract_tiles(padded, tile_size, halo)
+    n = tiles.shape[0]
+    to = tile_size * scale
+    ho = halo * scale
+    canvas = None
+
+    def land(core_dev, start, valid):
+        nonlocal canvas
+        cores = np.asarray(core_dev)  # blocks in this thread until computed
+        if canvas is None:
+            canvas = np.empty((ny * to, nx * to, cores.shape[-1]),
+                              dtype=cores.dtype)
+        for j in range(valid):
+            iy, ix = divmod(start + j, nx)
+            canvas[iy * to:(iy + 1) * to, ix * to:(ix + 1) * to] = cores[j]
+
+    futures = []
+    with concurrent.futures.ThreadPoolExecutor(fetch_threads) as pool:
+        first = None
+        for start in range(0, n, batch_tiles):
+            if cancel_check is not None and cancel_check():
+                for f in futures:
+                    f.cancel()
+                raise TilingCancelled(f"cancelled at tile {start}/{n}")
+            chunk = tiles[start:start + batch_tiles]
+            valid = chunk.shape[0]
+            bucket = (batch_tiles if tail == "full"
+                      else _bucket(valid, batch_tiles))
+            if valid < bucket:
+                chunk = jnp.concatenate(
+                    [chunk, jnp.repeat(chunk[-1:], bucket - valid, axis=0)],
+                    axis=0)
+            out = model_fn(chunk)
+            core = out[:valid, ho:ho + to, ho:ho + to, :]  # crop on device
+            if first is None:
+                # allocate the canvas on the main thread before fanning out
+                first = (core, start, valid)
+                land(*first)
+            else:
+                futures.append(pool.submit(land, core, start, valid))
+        for f in futures:
+            f.result()  # propagate fetch/compute errors
+    return canvas[:orig_h * scale, :orig_w * scale, :]
 
 
 # --------------------------------------------------------------------------

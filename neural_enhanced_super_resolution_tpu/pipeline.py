@@ -37,7 +37,8 @@ from neural_enhanced_super_resolution_tpu.ops.enhance import (
     adaptive_sharpen, ensemble, masked_sharpen, preprocess)
 from neural_enhanced_super_resolution_tpu.ops.resize import resize
 from neural_enhanced_super_resolution_tpu.parallel.tiling import (
-    TilingCancelled, process_tiled, process_with_tiling_parity)
+    TilingCancelled, process_tiled, process_tiled_to_host,
+    process_with_tiling_parity)
 from neural_enhanced_super_resolution_tpu.runtime.config import merge_config
 from neural_enhanced_super_resolution_tpu.runtime.device import (
     default_compute_dtype, determine_device,
@@ -124,6 +125,34 @@ class SuperResolutionPipeline:
             logger.info("Data parallelism: %d-device tile mesh", want)
         return self._dp_state
 
+    def _use_strips(self, image, mesh) -> bool:
+        """Host-side dispatch for config["shard_strategy"]:
+
+        "tiles" (default)  - tile-batch DP only;
+        "strips"           - always strip-shard over the mesh;
+        "auto"             - strips for single images above the reference's
+                             16 MP force-tiling threshold (nesr.py:787-790),
+                             tiles otherwise.
+
+        Strips need every chip's strip to be at least ``halo`` rows tall
+        (parallel/sharded.halo_exchange_strips slices strip[:halo]).
+        """
+        strategy = self.config.get("shard_strategy", "tiles")
+        if strategy not in ("strips", "auto"):
+            return False
+        h = int(image.shape[0])
+        w = int(image.shape[1])
+        if strategy == "auto" and (h * w) / 1e6 <= 16:
+            return False
+        n = mesh.devices.size
+        rows = -(-h // n)
+        if rows < self.config.get("tile_halo", 16):
+            logger.warning("shard_strategy=%s: %d rows over %d chips is "
+                           "thinner than the halo; using tiles", strategy,
+                           h, n)
+            return False
+        return True
+
     def _run_tiled(self, model_fn, image, tile_size: int, halo: int,
                    scale: int, batch_tiles: int | None = None):
         """Tile-batch execution: sharded over the DP mesh when one is active,
@@ -135,6 +164,21 @@ class SuperResolutionPipeline:
         if batch_tiles is None:
             batch_tiles = self.config.get("tile_batch")
         mesh = self._parallel_layout()["mesh"]
+        if mesh is not None and self._use_strips(image, mesh):
+            # SP/CP path: strip-shard the whole image across the mesh with
+            # ICI ppermute halo exchange (parallel/sharded.py) — the
+            # multi-chip answer to the reference's huge-single-image tiling
+            # (nesr.py:311-475). Failure ladders to the tile paths below.
+            from neural_enhanced_super_resolution_tpu.parallel.sharded import (
+                process_strips_sharded)
+            try:
+                return process_strips_sharded(
+                    model_fn, image, mesh, halo=halo, scale=scale)
+            except (EnhancementCancelled, TilingCancelled):
+                raise
+            except Exception as exc:  # noqa: BLE001 - ladder
+                logger.warning("Strip-sharded path failed (%s); falling back "
+                               "to tile sharding", exc)
         if mesh is not None:
             from neural_enhanced_super_resolution_tpu.parallel.sharded import (
                 process_tiled_sharded)
@@ -143,7 +187,8 @@ class SuperResolutionPipeline:
                     model_fn, image, mesh, tile_size=tile_size, halo=halo,
                     scale=scale,
                     batch_tiles=batch_tiles,
-                    cancel_check=self._cancel_check())
+                    cancel_check=self._cancel_check(),
+                    tail=self.config.get("tile_tail", "bucket"))
             except (EnhancementCancelled, TilingCancelled):
                 raise
             except Exception as exc:  # noqa: BLE001 - ladder
@@ -152,7 +197,8 @@ class SuperResolutionPipeline:
         return process_tiled(model_fn, image, tile_size=tile_size, halo=halo,
                              scale=scale,
                              batch_tiles=batch_tiles,
-                             cancel_check=self._cancel_check())
+                             cancel_check=self._cancel_check(),
+                             tail=self.config.get("tile_tail", "bucket"))
 
     # ------------------------------------------------------------- models --
 
@@ -268,6 +314,8 @@ class SuperResolutionPipeline:
                         params = fuse_rrdbnet_params_int8(params)
                 self.models["esrgan"] = {"params": params, "cfg": model_cfg}
                 logger.info("Real-ESRGAN model loaded successfully")
+                if cfg.get("prewarm"):
+                    self._prewarm_esrgan()
             except Exception as exc:  # ladder: feature disabled, continue
                 logger.error("Error loading Real-ESRGAN model: %s", exc)
 
@@ -335,6 +383,11 @@ class SuperResolutionPipeline:
 
     # ------------------------------------------------------------ helpers --
 
+    def _stage(self, name: str):
+        """Stage timer with the current iteration suffix (NESR_STAGE_DETAIL=1
+        splits per-iteration costs; default keeps the stable stage names)."""
+        return self.timer.stage(name + getattr(self, "_stage_sfx", ""))
+
     def _callback(self, stage, iteration, total, message):
         cb = self.config.get("progress_callback")
         if cb:
@@ -352,6 +405,20 @@ class SuperResolutionPipeline:
             raise EnhancementCancelled("enhancement cancelled")
 
     @staticmethod
+    def _block(x):
+        """Tunnel-safe block: jax.block_until_ready can return before the
+        program finishes over remote-device tunnels (measured, see
+        benchmarks/RESULTS.md timing notes), which smears stage attribution.
+        A one-element fetch forces completion at the cost of a single
+        round-trip."""
+        jax.block_until_ready(x)
+        try:
+            jax.device_get(x[(0,) * x.ndim])
+        except (AttributeError, TypeError, IndexError):
+            pass
+        return x
+
+    @staticmethod
     def _bicubic_upscale(image, factor):
         h, w = image.shape[:2]
         return resize(image, dsize=(int(w * factor), int(h * factor)),
@@ -360,8 +427,20 @@ class SuperResolutionPipeline:
     # ------------------------------------------------------------- stages --
 
     def _preprocess_image(self, image):
+        """Denoise (NL-means) + CLAHE contrast, timed as separate sub-stages
+        so the full-pipeline breakdown attributes their very different costs
+        (NL-means is 441-offset VPU work; CLAHE is a histogram pass)."""
+        from neural_enhanced_super_resolution_tpu.ops.enhance import (
+            denoise_stage, contrast_stage)
         try:
-            return preprocess(image, self.config["denoise_level"])
+            if self.config["denoise_level"] > 0:
+                with self._stage("pre/denoise"):
+                    image = self._block(denoise_stage(
+                        image, self.config["denoise_level"],
+                        max_megapixels=self.config.get(
+                            "denoise_max_megapixels")))
+            with self._stage("pre/contrast"):
+                return self._block(contrast_stage(image))
         except Exception as exc:  # ladder: skip step
             logger.warning("Preprocessing failed: %s, skipping", exc)
             return image
@@ -407,6 +486,30 @@ class SuperResolutionPipeline:
     def _esrgan_out_scale(self) -> int:
         return self.models["esrgan"]["cfg"].scale
 
+    def _prewarm_esrgan(self):
+        """Dispatch (without blocking) one throwaway tile batch through the
+        hot executables right after weight load. On remote/tunnel hosts a
+        cache-hit executable still pays seconds of deserialize/upload at its
+        FIRST execution in a process (RESULTS.md round-4 warm-serving
+        study); dispatching it here overlaps that load with the host-side
+        preprocess of the first iteration. Async on purpose — the result is
+        parked on the instance and never fetched."""
+        try:
+            cfg = self.config
+            tile = min(int(cfg["max_tile_size"]), 256)
+            halo = max(4, int(cfg.get("tile_halo", 16)))
+            k = tile + 2 * halo
+            b = int(cfg.get("tile_batch") or 16)
+            dummy = jnp.zeros((b, k, k, 3), jnp.uint8)
+            out = self._esrgan_batch_forward(dummy, cfg["force_3channel"])
+            refs = [out]
+            if cfg["adaptive_sharpening"] and cfg.get("streamed_output",
+                                                      True):
+                refs.append(_sharpen_batch(out))
+            self._prewarm_refs = refs
+        except Exception as exc:  # noqa: BLE001 - best effort
+            logger.debug("prewarm skipped: %s", exc)
+
     def _apply_esrgan_12channel(self, image):
         return self._esrgan_whole(image, three_channel=False)
 
@@ -426,12 +529,52 @@ class SuperResolutionPipeline:
         image = jnp.asarray(image)
         h, w = int(image.shape[0]), int(image.shape[1])
         tile = min(int(self.config["max_tile_size"]), 256)
-        if max(h, w) <= 2 * tile:
+        if min(h, w) <= tile // 2:
+            # Genuinely small inputs keep the reference's whole-forward
+            # program (the tile grid's reflect padding needs pad < side).
             return self._esrgan_batch_forward(image[None], three_channel)[0]
+        # Everything else rides the fixed-shape tile machinery: with
+        # tile_tail="full" (TPU default) ONE executable serves every image
+        # size — no per-size whole-forward compiles, no per-size
+        # first-execution loads (RESULTS.md round-4 warm-serving study).
         return self._run_tiled(
             lambda tiles: self._esrgan_batch_forward(tiles, three_channel),
             image, tile_size=tile, halo=self.config.get("tile_halo", 16),
             scale=self._esrgan_out_scale())
+
+    def _esrgan_cpu_rung(self, image):
+        """Cross-backend execution-fallback rung (the reference's
+        fallback_to_cpu semantics, nesr.py:951-983: on an MPS op failure the
+        model moves to CPU, runs there, and moves back).
+
+        TPU analog: when every accelerator rung failed at the BACKEND level
+        (driver wedge, OOM a shape guard missed), re-jit the 3-channel
+        forward on the host CPU backend, run it there, and hand the result
+        back to the accelerator — subsequent stages are unaffected. Host-side
+        dispatch only; never traced."""
+        cpu = jax.devices("cpu")[0]
+        entry = self.models["esrgan"]
+        cfg = entry["cfg"]
+        params_cpu = jax.device_put(entry["params"], cpu)
+        mode = "repeat12" if cfg.num_in_ch == 12 else "direct"
+
+        def fwd(tiles):
+            with jax.default_device(cpu):
+                return _esrgan_jit(params_cpu,
+                                   jax.device_put(jnp.asarray(tiles), cpu),
+                                   cfg, self.config["precision"], mode)
+
+        h, w = int(image.shape[0]), int(image.shape[1])
+        tile = min(int(self.config["max_tile_size"]), 256)
+        if max(h, w) <= 2 * tile:
+            out = fwd(jnp.asarray(image)[None])[0]
+        else:
+            out = process_tiled(fwd, np.asarray(image), tile_size=tile,
+                                halo=self.config.get("tile_halo", 16),
+                                scale=cfg.scale,
+                                cancel_check=self._cancel_check())
+        # back onto the default backend for the rest of the pipeline
+        return jnp.asarray(np.asarray(out))
 
     def _apply_esrgan(self, image):
         """Device-aware dispatch with the reference's fallback ladder
@@ -482,6 +625,13 @@ class SuperResolutionPipeline:
         rungs.append(("tiled 3-channel (256px)",
                       lambda: self._esrgan_tiled(image, True, 256,
                                                  padding=16)))
+        if self.config.get("fallback_to_cpu", self.device == "tpu"):
+            # Cross-backend rung: if every accelerator rung failed the same
+            # way (backend-level fault), run the forward on host CPU before
+            # conceding to bicubic (reference fallback_to_cpu semantics,
+            # nesr.py:951-983 + config :56).
+            rungs.append(("CPU-backend execution",
+                          lambda: self._esrgan_cpu_rung(image)))
         for name, rung in rungs:
             try:
                 if name != "primary":
@@ -588,6 +738,68 @@ class SuperResolutionPipeline:
                 logger.warning("Adaptive sharpening failed: %s", exc)
         return image
 
+    # Streamed final iteration ---------------------------------------------
+
+    def _stream_final_ok(self, iteration, iterations, image) -> bool:
+        """Host-side dispatch for the fused streamed tail: applies only to
+        the LAST iteration when ESRGAN is the sole upscale branch and the
+        output keeps the model's raw scale (no 2x-canvas shrink, no parity
+        mode, no DP mesh — those flows own their own output handling)."""
+        cfg = self.config
+        if not cfg.get("streamed_output", True):
+            return False
+        if iteration != iterations - 1:
+            return False
+        if not (cfg["use_esrgan"] and "esrgan" in self.models):
+            return False
+        if cfg["use_diffusion"] and "diffusion" in self.models:
+            return False
+        if cfg.get("use_swinir") and "swinir" in self.models:
+            return False
+        if cfg["parity_tiling"] or cfg.get("memory_efficient"):
+            return False
+        if self._parallel_layout()["mesh"] is not None:
+            return False
+        h, w = int(image.shape[0]), int(image.shape[1])
+        megapixels = (h * w) / (1024 * 1024)
+        threshold = cfg.get("max_megapixels",
+                            8 if self.device == "tpu" else 2)
+        if cfg["enable_tiling"] and megapixels > threshold:
+            return False  # canvas-shrink tiling semantics
+        if megapixels > 16:
+            return False
+        tile = min(int(cfg["max_tile_size"]), 256)
+        # pad_to_grid reflects at most tile-1 rows: need min side > tile/2
+        return min(h, w) > tile // 2
+
+    def _streamed_esrgan_final(self, image) -> np.ndarray:
+        """ESRGAN + adaptive sharpen fused per tile, streamed to host.
+
+        Each x4 output tile is sharpened with its halo as context
+        (halo*scale >= the sharpen radius: sigma<=3 Gaussians reach 12 px,
+        halo>=4 gives >=16), cropped, and fetched on background threads
+        while later chunks compute — output matches the standard
+        ensemble(single)+postprocess chain except within the usual tiled-op
+        border band (tests/test_pipeline.py::test_streamed_final_matches)."""
+        cfg = self.config
+        three = cfg["force_3channel"]
+        sharpen = cfg["adaptive_sharpening"]
+
+        def model_fn(tiles):
+            out = self._esrgan_batch_forward(tiles, three)
+            if sharpen:
+                out = _sharpen_batch(out)
+            return out
+
+        tile = min(int(cfg["max_tile_size"]), 256)
+        return process_tiled_to_host(
+            model_fn, image, tile_size=tile,
+            halo=max(4, int(cfg.get("tile_halo", 16))),
+            scale=self._esrgan_out_scale(),
+            batch_tiles=int(cfg.get("tile_batch") or 16),
+            cancel_check=self._cancel_check(),
+            tail=cfg.get("tile_tail", "bucket"))
+
     # --------------------------------------------------------------- main --
 
     def _load_image(self, image_path):
@@ -606,7 +818,11 @@ class SuperResolutionPipeline:
             prompt = "a high resolution, detailed photograph"
 
         current = jnp.asarray(image)
+        # NESR_STAGE_DETAIL=1: suffix stage names with the iteration index so
+        # the profiler separates the geometrically-growing per-iteration costs
+        detail = os.environ.get("NESR_STAGE_DETAIL") == "1"
         for iteration in range(iterations):
+            self._stage_sfx = f"@i{iteration + 1}" if detail else ""
             t0 = time.time()
             self._check_cancelled()
             logger.info("Starting iteration %d/%d", iteration + 1, iterations)
@@ -615,76 +831,100 @@ class SuperResolutionPipeline:
 
             self._callback("Preprocessing", iteration, iterations,
                            "Applying denoising and contrast enhancement")
-            with self.timer.stage("preprocess"):
-                current = jax.block_until_ready(
-                    self._preprocess_image(current))
+            current = self._preprocess_image(current)
 
             if (self.config["segment_enhancement"]
                     and "segmentation" in self.models):
                 self._callback("Segmentation", iteration, iterations,
                                "Performing region-based analysis and "
                                "enhancement")
-                with self.timer.stage("segmentation"):
-                    current = jax.block_until_ready(
-                        self._segment_and_enhance(current))
+                with self._stage("segmentation"):
+                    current = self._block(self._segment_and_enhance(current))
 
-            upscaled = []
-            if self.config["use_esrgan"] and "esrgan" in self.models:
-                logger.info("Applying Real-ESRGAN upscaling...")
-                self._callback("ESRGAN", iteration, iterations,
-                               "Applying Real-ESRGAN upscaling")
-                with self.timer.stage("esrgan"):
-                    result = self._apply_esrgan(current)
-                    if not self._overlap_active():
-                        # sequential mode: account time per stage exactly
-                        result = jax.block_until_ready(result)
-                if result is not None:
-                    upscaled.append(result)
-
-            if self.config.get("use_swinir") and "swinir" in self.models:
-                logger.info("Applying SwinIR upscaling...")
-                self._callback("SwinIR", iteration, iterations,
-                               "Applying SwinIR upscaling")
-                with self.timer.stage("swinir"):
-                    result = self._apply_swinir(current)
-                if result is not None:
-                    upscaled.append(result)
-
-            if self.config["use_diffusion"] and "diffusion" in self.models:
-                # Stage-level PP (SURVEY §2c): the ESRGAN dispatch above is
-                # still in flight. When _parallel_layout() split the device
-                # list, the tile batch is sharded over the DP mesh and the
-                # diffusion params are pinned to the remainder device
-                # (_load_models -> UpscalePipeline.to_device), so the two
-                # branches execute concurrently on disjoint chips; blocking
-                # happens at the ensemble. On one device both dispatches
-                # serialise on the same chip.
-                logger.info("Applying diffusion-based upscaling...")
-                self._callback("Diffusion", iteration, iterations,
-                               "Applying diffusion-based upscaling with "
-                               f"prompt: {prompt}")
-                with self.timer.stage("diffusion"):
-                    result = self._apply_diffusion(current, prompt)
-                if result is not None:
-                    upscaled.append(result)
-
-            self._callback("Ensemble", iteration, iterations,
-                           "Combining results from multiple models")
-            if upscaled:
-                with self.timer.stage("ensemble"):
-                    current = jax.block_until_ready(
-                        self._ensemble_results(upscaled))
+            streamed = None
+            if self._stream_final_ok(iteration, iterations, current):
+                # Fused final iteration: ESRGAN + adaptive sharpen per tile,
+                # output tiles STREAMED to the host canvas while later
+                # chunks compute (parallel/tiling.process_tiled_to_host).
+                # Hides the device->host fetch of the full-size result —
+                # the dominant cost of big enhancements on tunnel-attached
+                # hosts — under the final iteration's compute. Failure
+                # ladders to the standard stage chain.
+                try:
+                    logger.info("Applying Real-ESRGAN upscaling (streamed "
+                                "final iteration)...")
+                    self._callback("ESRGAN", iteration, iterations,
+                                   "Applying Real-ESRGAN upscaling")
+                    with self._stage("esrgan+post/streamed"):
+                        streamed = self._streamed_esrgan_final(current)
+                    self._callback("Ensemble", iteration, iterations,
+                                   "Combining results from multiple models")
+                    self._callback("Postprocessing", iteration, iterations,
+                                   "Applying final enhancements")
+                except (EnhancementCancelled, TilingCancelled):
+                    raise EnhancementCancelled("cancelled during ESRGAN")
+                except Exception as exc:  # noqa: BLE001 - ladder
+                    logger.warning("Streamed final path failed (%s); using "
+                                   "the standard stage chain", exc)
+            if streamed is not None:
+                current = streamed
             else:
-                logger.warning("All models failed, falling back to bicubic "
-                               "upscaling")
-                current = self._bicubic_upscale(
-                    current, self.config["upscale_factor"])
+                upscaled = []
+                if self.config["use_esrgan"] and "esrgan" in self.models:
+                    logger.info("Applying Real-ESRGAN upscaling...")
+                    self._callback("ESRGAN", iteration, iterations,
+                                   "Applying Real-ESRGAN upscaling")
+                    with self._stage("esrgan"):
+                        result = self._apply_esrgan(current)
+                        if not self._overlap_active():
+                            # sequential mode: account time per stage exactly
+                            result = self._block(result)
+                    if result is not None:
+                        upscaled.append(result)
 
-            self._callback("Postprocessing", iteration, iterations,
-                           "Applying final enhancements")
-            with self.timer.stage("postprocess"):
-                current = jax.block_until_ready(
-                    self._postprocess_image(current))
+                if self.config.get("use_swinir") and "swinir" in self.models:
+                    logger.info("Applying SwinIR upscaling...")
+                    self._callback("SwinIR", iteration, iterations,
+                                   "Applying SwinIR upscaling")
+                    with self._stage("swinir"):
+                        result = self._apply_swinir(current)
+                    if result is not None:
+                        upscaled.append(result)
+
+                if self.config["use_diffusion"] and "diffusion" in self.models:
+                    # Stage-level PP (SURVEY §2c): the ESRGAN dispatch above is
+                    # still in flight. When _parallel_layout() split the device
+                    # list, the tile batch is sharded over the DP mesh and the
+                    # diffusion params are pinned to the remainder device
+                    # (_load_models -> UpscalePipeline.to_device), so the two
+                    # branches execute concurrently on disjoint chips; blocking
+                    # happens at the ensemble. On one device both dispatches
+                    # serialise on the same chip.
+                    logger.info("Applying diffusion-based upscaling...")
+                    self._callback("Diffusion", iteration, iterations,
+                                   "Applying diffusion-based upscaling with "
+                                   f"prompt: {prompt}")
+                    with self._stage("diffusion"):
+                        result = self._apply_diffusion(current, prompt)
+                    if result is not None:
+                        upscaled.append(result)
+
+                self._callback("Ensemble", iteration, iterations,
+                               "Combining results from multiple models")
+                if upscaled:
+                    with self._stage("ensemble"):
+                        current = self._block(self._ensemble_results(upscaled))
+                else:
+                    logger.warning("All models failed, falling back to bicubic "
+                                   "upscaling")
+                    current = self._bicubic_upscale(
+                        current, self.config["upscale_factor"])
+
+                self._callback("Postprocessing", iteration, iterations,
+                               "Applying final enhancements")
+                with self._stage("postprocess"):
+                    current = self._block(self._postprocess_image(current))
+
 
             if self.config["intermediate_saves"]:
                 from neural_enhanced_super_resolution_tpu.utils.io import (
@@ -699,7 +939,12 @@ class SuperResolutionPipeline:
 
             logger.info("Completed iteration %d in %.1fs", iteration + 1,
                         time.time() - t0)
-        return np.asarray(current)
+        if isinstance(current, np.ndarray):
+            return current  # streamed final iteration already landed on host
+        with self.timer.stage("finalize/d2h"):
+            from neural_enhanced_super_resolution_tpu.runtime.device import (
+                device_fetch)
+            return device_fetch(current)
 
     def enhance_image(self, image_path: str, prompt: str | None = None) -> str:
         """Enhance an image file; returns the saved output path
@@ -739,6 +984,15 @@ class SuperResolutionPipeline:
                        f"{final_w}x{final_h} (x{scale_achieved})")
         self.timer.log_summary(final_h * final_w / 1e6)
         return final_path
+
+
+# Batched adaptive sharpen for the streamed final iteration: one compiled
+# program over the tile batch (a bare vmap would dispatch op-by-op).
+@jax.jit
+def _sharpen_batch(tiles):
+    from neural_enhanced_super_resolution_tpu.ops.enhance import (
+        _adaptive_sharpen_impl)
+    return jax.vmap(_adaptive_sharpen_impl)(tiles)
 
 
 # ---------------------------------------------------------------------------

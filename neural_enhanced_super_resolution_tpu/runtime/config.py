@@ -60,6 +60,22 @@ def default_config() -> dict[str, Any]:
                 # reference-exact geometry (e.g. with parity_tiling).
                 "tile_halo": 10,
                 "half_precision": True,    # bf16 on TPU
+                # Backend-level rung failures retry on the host CPU backend
+                # before the bicubic floor (the reference's MPS fallback
+                # semantics, nesr.py:951-983, completed for TPU —
+                # pipeline._esrgan_cpu_rung).
+                "fallback_to_cpu": True,
+                # ONE tile executable for every image size: partial chunks
+                # pad to the full tile_batch instead of power-of-two
+                # buckets. Each extra big executable costs seconds of
+                # first-execution load per process on remote/tunnel hosts
+                # (RESULTS.md round-4 warm-serving study); the padded
+                # tiles' compute is far cheaper.
+                "tile_tail": "full",
+                # Dispatch a throwaway tile batch right after weight load so
+                # the hot executable's deserialize/upload overlaps the
+                # host-side preprocess of the first iteration.
+                "prewarm": True,
             },
             "cpu": {
                 "max_megapixels": 2,       # reference cpu threshold
@@ -84,6 +100,12 @@ def default_config() -> dict[str, Any]:
         # pipeline._parallel_layout). "off" forces single-device; an int
         # caps the device count. Single-chip hosts are unaffected.
         "data_parallel": "auto",
+        # Multi-chip sharding strategy for the upscale branches:
+        # "tiles" (default) = tile-batch DP; "strips" = strip-shard the
+        # image with ICI ppermute halo exchange (SP/CP, parallel/sharded);
+        # "auto" = strips above the reference's 16 MP force-tiling
+        # threshold, tiles otherwise. Single-chip hosts ignore this.
+        "shard_strategy": "tiles",
         # 16 tiles per device batch: the measured v5e sweet spot, and an HBM
         # guard (None = all tiles at once OOMs on 4K+ images).
         "tile_batch": 16,
@@ -101,6 +123,21 @@ def default_config() -> dict[str, Any]:
         "swinir_tile_batch": 1,
         "diffusion_model_path": None,
         "segmentation_model_path": None,
+        # Partial tile chunks: "bucket" (power-of-two, cheapest compute)
+        # or "full" (pad to tile_batch — one executable for all sizes;
+        # the TPU overlay selects this).
+        "tile_tail": "bucket",
+        "prewarm": False,
+        # Final-iteration fusion: when ESRGAN is the only upscale branch,
+        # run ESRGAN + adaptive sharpen per tile and STREAM output tiles to
+        # the host while later chunks compute (hides the D2H of the full
+        # result under compute — parallel/tiling.process_tiled_to_host).
+        "streamed_output": True,
+        # Resolution cap (MP) for the NL-means denoise stage — the denoise
+        # analog of the reference's <=1024px segmentation cap (nesr.py:704-709).
+        # None = always full-res (reference semantics). See
+        # ops/enhance.denoise_stage for the residual-transfer scheme.
+        "denoise_max_megapixels": None,
         "num_inference_steps": None,  # None -> per-device default (10/20)
     }
 

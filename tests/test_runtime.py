@@ -92,3 +92,27 @@ def test_executor_close_after_abandoned_iteration():
     while threading.active_count() > n_before and time.time() < deadline:
         time.sleep(0.01)
     assert threading.active_count() <= n_before, "staging thread leaked"
+
+
+def test_device_fetch_matches_asarray():
+    """Chunked parallel D2H (runtime/device.device_fetch) must be
+    byte-identical to np.asarray across shapes, dtypes, and row counts
+    that don't divide the thread count."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from neural_enhanced_super_resolution_tpu.runtime.device import (
+        device_fetch)
+
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.integers(0, 256, (37, 19, 3), np.uint8),     # small: plain path
+        rng.integers(0, 256, (1037, 513, 3), np.uint8),  # odd rows
+        rng.normal(size=(64, 64)).astype(np.float32),
+        rng.integers(0, 2, (9,)).astype(np.int32),       # 1-D, fewer rows
+    ]
+    for host in cases:
+        dev = jnp.asarray(host)
+        np.testing.assert_array_equal(device_fetch(dev, min_bytes=0), host)
+        np.testing.assert_array_equal(
+            device_fetch(dev, num_threads=3, min_bytes=0), host)

@@ -176,3 +176,32 @@ def test_process_tiled_halo_sufficiency(rng):
                                      halo=h, scale=2)) for h in (2, 4, 8)]
     for o in outs[1:]:
         assert np.allclose(o[8:-8, 8:-8], outs[0][8:-8, 8:-8], atol=1e-5)
+
+
+def test_process_tiled_to_host_matches_device_path(rng):
+    """The streamed-to-host tiler must be bit-identical to
+    np.asarray(process_tiled(...)) for both tail policies and for host-
+    uint8 (native-staged) and device-array inputs."""
+    import jax.numpy as jnp
+
+    from neural_enhanced_super_resolution_tpu.parallel.tiling import (
+        process_tiled, process_tiled_to_host)
+
+    def model(tiles):  # x2 nearest upscale, content-dependent
+        t = tiles.astype(jnp.float32)
+        n, h, w, c = t.shape
+        up = jnp.broadcast_to(t[:, :, None, :, None, :],
+                              (n, h, 2, w, 2, c)).reshape(n, 2*h, 2*w, c)
+        return (up % 251).astype(jnp.uint8)
+
+    img = rng.integers(0, 256, (130, 98, 3), np.uint8)  # non-divisible dims
+    for tail in ("bucket", "full"):
+        want = np.asarray(process_tiled(model, jnp.asarray(img), tile_size=32,
+                                        halo=4, scale=2, batch_tiles=4,
+                                        tail=tail))
+        for inp in (img, jnp.asarray(img)):
+            got = process_tiled_to_host(model, inp, tile_size=32, halo=4,
+                                        scale=2, batch_tiles=4, tail=tail,
+                                        fetch_threads=3)
+            assert isinstance(got, np.ndarray)
+            np.testing.assert_array_equal(got, want)
