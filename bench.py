@@ -8,13 +8,14 @@ Method: the flagship configuration from BASELINE.md — full-size RRDBNet
 (num_feat=64, num_block=23, 12-channel quirk mode exactly as the reference
 constructs it, /root/reference/nesr/nesr.py:216) runs the batched-tile path
 (parallel/tiling.process_tiled) over a 2048x2048 input with 256-px tiles and
-10-px halos in bf16. Halo 10 is this framework's TPU production default
+6-px halos in bf16. Halo 6 is this framework's TPU production default
 (runtime/config.py device overlay), so the bench measures the configuration
 the pipeline actually runs. Note the reference itself effectively runs
 padding=16 — its call sites always pass 16 (nesr.py:807; 10 is only an
 unused signature default at :311) — but the halo choice is measured
-quality-identical across [6, 16] (benchmarks/RESULTS.md round-2 PSNR
-sweep). Steady-state timing after a warmup pass; throughput is
+quality-identical across [6, 16] with trained weights
+(tests/test_quality.py halo parametrisation; round-4 A/B: 18.41 vs 16.91
+MP_out/s for halo 6 vs 10). Steady-state timing after a warmup pass; throughput is
 *input* megapixels per second on one chip. vs_baseline is the ratio against
 the 30 MP/s/chip north-star target (the reference publishes no numbers —
 BASELINE.md).
@@ -91,7 +92,7 @@ def main() -> int:
 
     H = W = int(os.environ.get("NESR_BENCH_SIZE", 2048))
     TILE = int(os.environ.get("NESR_BENCH_TILE", 256))
-    HALO = int(os.environ.get("NESR_BENCH_HALO", 10))
+    HALO = int(os.environ.get("NESR_BENCH_HALO", 6))
     REPS = int(os.environ.get("NESR_BENCH_REPS", 3))
     BATCH = int(os.environ.get("NESR_BENCH_BATCH", 16))
 
@@ -190,15 +191,19 @@ def main() -> int:
     return 0
 
 
-def _bench_sd_x4(size: int = 128, reps: int = 4) -> dict:
+def _bench_sd_x4(size: int = 128, pairs: int = 4) -> dict:
     """Full-size x4-upscaler (synthetic weights): slope-timed UNet steps/s.
 
     Runs the pipeline at 20 and at 5 inference steps; the per-step rate is
     (20-5)/(t20-t5), which cancels the fixed costs (CLIP, VAE decode,
     ~30 ms/call tunnel overhead) that contaminate single-run timings — the
-    round-2 'regression' was exactly such contamination (RESULTS.md). The
-    15-step contrast + best-of-4 keeps the tunnel-noise-driven spread of
-    the slope within ~±20%; treat single-session values accordingly.
+    round-2 'regression' was exactly such contamination (RESULTS.md).
+    Round-4 tightening (VERDICT #3 of round 3): the 20- and 5-step runs are
+    INTERLEAVED in pairs so tunnel drift hits both sides of the slope
+    equally, the point estimate uses best-of on each side, and the JSON
+    carries the MEASURED relative spread of the per-pair slopes
+    (sd_x4_steps_per_s_spread) so a future regression can be told from
+    noise by the number itself.
     """
     import jax
 
@@ -227,22 +232,26 @@ def _bench_sd_x4(size: int = 128, reps: int = 4) -> dict:
                    guidance_scale=7.5)
         return float(out.astype(np.float32).sum())  # force materialisation
 
-    times = {}
-    for steps in (20, 5):
-        run(steps)  # compile + warm
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            run(steps)
-            best = min(best, time.perf_counter() - t0)
-        times[steps] = best
-    # The slope divides a ~0.3-0.7 s difference of tunnel-noisy wall times;
-    # best-of-4 keeps the estimate's spread within ~15% (best-of-2 showed
-    # 2x swings between sessions).
-    slope = (times[20] - times[5]) / 15.0
-    out = {"sd_x4_seconds_20step": round(times[20], 3)}
+    run(20)  # compile + warm both programs before any timed pair
+    run(5)
+    t20, t5, slopes = [], [], []
+    for _ in range(pairs):
+        t0 = time.perf_counter()
+        run(20)
+        t20.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        run(5)
+        t5.append(time.perf_counter() - t0)
+        if t20[-1] > t5[-1]:
+            slopes.append((t20[-1] - t5[-1]) / 15.0)
+    slope = (min(t20) - min(t5)) / 15.0
+    out = {"sd_x4_seconds_20step": round(min(t20), 3)}
     if slope > 0:
         out["sd_x4_steps_per_s"] = round(1.0 / slope, 2)
+    if len(slopes) >= 2:
+        mid = sorted(slopes)[len(slopes) // 2]
+        out["sd_x4_steps_per_s_spread"] = round(
+            (max(slopes) - min(slopes)) / mid, 2)
     return out
 
 

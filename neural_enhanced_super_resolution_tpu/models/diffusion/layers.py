@@ -13,6 +13,7 @@ accumulates in f32 on the MXU.
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import jax
@@ -21,6 +22,14 @@ from jax import lax
 
 __all__ = ["conv2d", "linear", "group_norm", "layer_norm", "silu",
            "attention", "timestep_embedding", "nearest_upsample_x2"]
+
+# Profiling-only ablation switches (benchmarks/profile_sd_step.py): each
+# named component ("groupnorm", "selfattn", "crossattn", "ff", "cfg")
+# becomes a cheap passthrough so slope-timed step rates decompose the
+# denoise step (VERDICT round 3 #4b). Read at TRACE time; unset in
+# production — the default frozenset() compiles identical programs.
+SD_ABLATE = frozenset(
+    t for t in os.environ.get("NESR_SD_ABLATE", "").split(",") if t)
 
 
 def conv2d(x: jax.Array, params: dict, name: str, stride: int = 1,
@@ -52,6 +61,9 @@ def linear(x: jax.Array, params: dict, name: str,
 def group_norm(x: jax.Array, params: dict, name: str, num_groups: int = 32,
                eps: float = 1e-5) -> jax.Array:
     """GroupNorm over the channel (last) axis of NHWC."""
+    if "groupnorm" in SD_ABLATE:  # profiling ablation: scale/shift only
+        return x.astype(jnp.float32) * params[f"{name}.weight"] + \
+            params[f"{name}.bias"]
     n, h, w, c = x.shape
     x32 = x.astype(jnp.float32).reshape(n, h, w, num_groups, c // num_groups)
     mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)

@@ -192,15 +192,25 @@ def _upscale_jit(unet_params, vae_params, image, embeds, timesteps,
         k_loop, (num_steps, n, h, w, unet_cfg.out_channels), jnp.float32)
         if is_ddpm else None)
 
+    from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
+        SD_ABLATE)
+
     def body(i, latents):
         t = timesteps[i]
         prev_t = jnp.where(i + 1 < num_steps, timesteps[i + 1], -1)
-        lat2 = jnp.concatenate([latents, latents], axis=0)
-        unet_in = jnp.concatenate([lat2, img2], axis=-1)
-        eps = unet_forward(unet_params, unet_in, t, embeds, nl2, unet_cfg,
-                           compute_dtype)
-        eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
-        eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+        if "cfg" in SD_ABLATE:
+            # profiling ablation: conditional-only single batch (no
+            # classifier-free-guidance doubling)
+            unet_in = jnp.concatenate([latents, noisy_img], axis=-1)
+            eps = unet_forward(unet_params, unet_in, t, embeds[1:],
+                               nl2[:n], unet_cfg, compute_dtype)
+        else:
+            lat2 = jnp.concatenate([latents, latents], axis=0)
+            unet_in = jnp.concatenate([lat2, img2], axis=-1)
+            eps = unet_forward(unet_params, unet_in, t, embeds, nl2,
+                               unet_cfg, compute_dtype)
+            eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
+            eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
         if is_ddpm:
             noise = jnp.where(t > 0, 1.0, 0.0) * step_noises[i]
             return scheduler.step(eps, t, prev_t, latents, noise)

@@ -97,20 +97,24 @@ def _basic_transformer(params, name, x, context, heads, dtype):
     # long sequences, XLA einsum otherwise (kernels/attention.py).
     from neural_enhanced_super_resolution_tpu.kernels.attention import (
         attention_auto)
-    h = layer_norm(x, params, f"{name}.norm1")
-    q = linear(h, params, f"{name}.attn1.to_q", dtype=dtype)
-    k = linear(h, params, f"{name}.attn1.to_k", dtype=dtype)
-    v = linear(h, params, f"{name}.attn1.to_v", dtype=dtype)
-    h = attention_auto(q, k, v, heads, dtype=dtype)
-    x = x + linear(h, params, f"{name}.attn1.to_out.0", dtype=dtype)
-    # cross-attention
-    h = layer_norm(x, params, f"{name}.norm2")
-    q = linear(h, params, f"{name}.attn2.to_q", dtype=dtype)
-    k = linear(context, params, f"{name}.attn2.to_k", dtype=dtype)
-    v = linear(context, params, f"{name}.attn2.to_v", dtype=dtype)
-    h = attention(q, k, v, heads, dtype=dtype)
-    x = x + linear(h, params, f"{name}.attn2.to_out.0", dtype=dtype)
-    # feed-forward
+    from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
+        SD_ABLATE)
+    if "selfattn" not in SD_ABLATE:
+        h = layer_norm(x, params, f"{name}.norm1")
+        q = linear(h, params, f"{name}.attn1.to_q", dtype=dtype)
+        k = linear(h, params, f"{name}.attn1.to_k", dtype=dtype)
+        v = linear(h, params, f"{name}.attn1.to_v", dtype=dtype)
+        h = attention_auto(q, k, v, heads, dtype=dtype)
+        x = x + linear(h, params, f"{name}.attn1.to_out.0", dtype=dtype)
+    if "crossattn" not in SD_ABLATE:
+        h = layer_norm(x, params, f"{name}.norm2")
+        q = linear(h, params, f"{name}.attn2.to_q", dtype=dtype)
+        k = linear(context, params, f"{name}.attn2.to_k", dtype=dtype)
+        v = linear(context, params, f"{name}.attn2.to_v", dtype=dtype)
+        h = attention(q, k, v, heads, dtype=dtype)
+        x = x + linear(h, params, f"{name}.attn2.to_out.0", dtype=dtype)
+    if "ff" in SD_ABLATE:
+        return x
     h = layer_norm(x, params, f"{name}.norm3")
     return x + _geglu_ff(params, f"{name}.ff", h, dtype)
 

@@ -54,11 +54,13 @@ def default_config() -> dict[str, Any]:
                 # its batch-16 program over-allocates HBM).
                 "max_tile_size": 256,
                 # The reference's call sites run padding=16 (nesr.py:807);
-                # halo is quality-indistinguishable in [6, 16] (RESULTS.md
-                # round-2 PSNR sweep) and 10 is ~6% faster, so the TPU
-                # production default is 10. Set tile_halo=16 explicitly for
+                # halo is quality-indistinguishable in [6, 16] with TRAINED
+                # weights (tests/test_quality.py halo parametrisation) and
+                # the round-4 same-session A/B measured halo 6 at 18.41
+                # MP_out/s vs halo 10's 16.91 (+8.8%), so the TPU
+                # production default is 6. Set tile_halo=16 explicitly for
                 # reference-exact geometry (e.g. with parity_tiling).
-                "tile_halo": 10,
+                "tile_halo": 6,
                 "half_precision": True,    # bf16 on TPU
                 # Backend-level rung failures retry on the host CPU backend
                 # before the bicubic floor (the reference's MPS fallback
