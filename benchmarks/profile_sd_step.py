@@ -22,11 +22,25 @@ import sys
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 
-ABLATIONS = ["", "groupnorm", "selfattn", "crossattn", "ff", "cfg"]
+# Ablations run on the XLA einsum attention path
+# (NESR_DISABLE_FLASH_ATTENTION=1): removing ops around the flash kernel
+# changes fusion enough to blow its scoped-VMEM budget (measured: the
+# groupnorm-ablated program OOMs vmem inside _flash_attention_impl), and a
+# single consistent attention implementation keeps the shares comparable.
+# "base_flash" (no ablation, flash ON) vs "base" settles the
+# flash-vs-XLA question with the tightened slope metric.
+ABLATIONS = ["base_flash", "", "groupnorm", "selfattn", "crossattn", "ff",
+             "cfg"]
 
 
 def run_one(ablate: str) -> dict:
-    env = dict(os.environ, NESR_SD_ABLATE=ablate)
+    env = dict(os.environ)
+    if ablate == "base_flash":
+        env["NESR_SD_ABLATE"] = ""
+        env.pop("NESR_DISABLE_FLASH_ATTENTION", None)
+    else:
+        env["NESR_SD_ABLATE"] = ablate
+        env["NESR_DISABLE_FLASH_ATTENTION"] = "1"
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "import json, bench\n"
@@ -42,18 +56,30 @@ def run_one(ablate: str) -> dict:
 def main():
     rates = {}
     for ab in ABLATIONS:
-        res = run_one(ab)
+        try:
+            res = run_one(ab)
+        except Exception as exc:  # noqa: BLE001 — keep partial results
+            print(f"# {ab or 'base':10s} FAILED: {str(exc)[-300:]}",
+                  flush=True)
+            continue
         rates[ab or "base"] = res
         print(f"# {ab or 'base':10s} {res}", flush=True)
     base = rates["base"]["sd_x4_steps_per_s"]
     shares = {}
-    for ab in ABLATIONS[1:]:
-        r = rates[ab].get("sd_x4_steps_per_s")
+    for ab in ABLATIONS:
+        key = ab or "base"
+        if key in ("base", "base_flash") or key not in rates:
+            continue
+        r = rates[key].get("sd_x4_steps_per_s")
         if r and r > 0:
-            shares[ab] = round(1.0 - base / r, 3)
+            shares[key] = round(1.0 - base / r, 3)
     shares["conv_resnet_residual"] = round(
         1.0 - sum(max(v, 0.0) for v in shares.values()), 3)
-    print(json.dumps({"base_steps_per_s": base, "step_shares": shares}))
+    out = {"base_steps_per_s": base, "step_shares": shares}
+    if "base_flash" in rates:
+        out["flash_vs_xla"] = round(
+            rates["base_flash"]["sd_x4_steps_per_s"] / base, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -23,9 +23,19 @@ the production default stays XLA (models/rrdbnet._rdb_fused).
   VMEM-feasible block heights) or bh>=16 blocks whose Mosaic compiles
   (>250 s) never land in this environment's persistent cache.
 
-Decision: XLA trunk remains production; both variants stay in-tree,
-tested (interpret-mode exactness vs per-variant oracles) and measured, as
-the baseline for re-evaluation on directly-attached hardware with XProf.
+  v3 (round 4, VERDICT #1): v2's stage body with the 11 rolling-carry
+  moves staged on async DMA (pltpu.make_async_copy, started end-of-step,
+  waited next prologue; g2-wide slot buffers lane-padded to 128 for
+  Mosaic's DMA alignment). Measured IDENTICAL to v2 — 42.7 us/step both,
+  same compile — proving the carries were never the binding cost: the
+  emit/slot stores and K-concat lhs builds move computed register values
+  and cannot ride a DMA engine. Decision record in benchmarks/RESULTS.md.
+
+Decision: XLA trunk remains production; all variants stay in-tree,
+tested (interpret-mode exactness vs per-variant oracles) and measured.
+The DMA question is closed by measurement; the remaining lever (larger
+row blocks) is compile-time-bound in this environment (superlinear Mosaic
+compile vs block area, >250 s never persists in the cache).
 
 Design (kept because the schedule itself is sound and fully tested):
 
