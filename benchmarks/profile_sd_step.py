@@ -22,29 +22,29 @@ import sys
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 
-# Ablations run on the XLA einsum attention path
-# (NESR_DISABLE_FLASH_ATTENTION=1): removing ops around the flash kernel
-# changes fusion enough to blow its scoped-VMEM budget (measured: the
-# groupnorm-ablated program OOMs vmem inside _flash_attention_impl), and a
-# single consistent attention implementation keeps the shares comparable.
-# "base_flash" (no ablation, flash ON) vs "base" settles the
-# flash-vs-XLA question with the tightened slope metric.
-ABLATIONS = ["base_flash", "", "groupnorm", "selfattn", "crossattn", "ff",
-             "cfg"]
+# All variants keep the Pallas flash attention ON: with
+# NESR_DISABLE_FLASH_ATTENTION=1 the XLA einsum path at 128^2 latents
+# (16384-token self-attention -> 8.6 GB of f32 scores) did not even finish
+# compiling in 40 minutes — flash is structurally required at these
+# shapes, which settles the round-3 flash-vs-XLA question by itself.
+# The decomposition runs at the production 128^2 latent: 96^2 was tried
+# and its ~3x-faster step drowns in the tunnel's fixed noise (measured
+# slope spread 0.81 vs 0.19 at 128^2). The groupnorm variant is known to
+# risk a scoped-VMEM OOM inside the flash kernel at 128^2 (fusion
+# lottery); the harness reports FAILED for it and derives the remaining
+# shares.
+ABLATIONS = ["", "groupnorm", "selfattn", "crossattn", "ff", "cfg"]
+SIZE = int(os.environ.get("NESR_SD_DECOMP_SIZE", "128"))
 
 
 def run_one(ablate: str) -> dict:
-    env = dict(os.environ)
-    if ablate == "base_flash":
-        env["NESR_SD_ABLATE"] = ""
-        env.pop("NESR_DISABLE_FLASH_ATTENTION", None)
-    else:
-        env["NESR_SD_ABLATE"] = ablate
-        env["NESR_DISABLE_FLASH_ATTENTION"] = "1"
+    env = dict(os.environ, NESR_SD_ABLATE=ablate)
+    env.pop("NESR_DISABLE_FLASH_ATTENTION", None)
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "import json, bench\n"
-        "print('RESULT ' + json.dumps(bench._bench_sd_x4()))\n" % ROOT)
+        "print('RESULT ' + json.dumps(bench._bench_sd_x4(size=%d)))\n"
+        % (ROOT, SIZE))
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, env=env, timeout=2400, cwd=ROOT)
     for line in out.stdout.splitlines():
@@ -55,6 +55,7 @@ def run_one(ablate: str) -> dict:
 
 def main():
     rates = {}
+    print(f"# latent {SIZE}x{SIZE}, flash attention on", flush=True)
     for ab in ABLATIONS:
         try:
             res = run_one(ab)
@@ -75,10 +76,8 @@ def main():
             shares[key] = round(1.0 - base / r, 3)
     shares["conv_resnet_residual"] = round(
         1.0 - sum(max(v, 0.0) for v in shares.values()), 3)
-    out = {"base_steps_per_s": base, "step_shares": shares}
-    if "base_flash" in rates:
-        out["flash_vs_xla"] = round(
-            rates["base_flash"]["sd_x4_steps_per_s"] / base, 3)
+    out = {"latent": SIZE, "base_steps_per_s": base,
+           "step_shares": shares}
     print(json.dumps(out))
 
 
