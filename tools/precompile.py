@@ -39,8 +39,8 @@ def main() -> int:
     ap.add_argument("--diffusion", action="store_true",
                     help="also warm the SD x4 denoise loop (slow compile)")
     ap.add_argument("--tile-sizes", type=int, nargs="*", default=[256])
-    # default matches the TPU production overlay (runtime/config.py round 3)
-    ap.add_argument("--halo", type=int, default=10)
+    # default matches the TPU production overlay (runtime/config.py round 4)
+    ap.add_argument("--halo", type=int, default=6)
     ap.add_argument("--batch", type=int, default=16)
     args = ap.parse_args()
 
@@ -61,10 +61,13 @@ def main() -> int:
     params = jax.device_put(fuse_rrdbnet_params(
         init_rrdbnet(jax.random.PRNGKey(0), cfg)))
 
-    # Warm the full batch plus the power-of-two tail buckets the tiler uses
-    # for small images / tail chunks (parallel/tiling.process_tiled).
-    buckets = sorted({args.batch, max(1, args.batch // 2),
-                      max(1, args.batch // 4)}, reverse=True)
+    # tile_tail="full" (TPU default, round 4) means production only ever
+    # runs the FULL-batch program; the tail buckets are only needed for
+    # configs that opt back into "bucket" mode.
+    buckets = [args.batch]
+    if os.environ.get("NESR_PRECOMPILE_BUCKETS") == "1":
+        buckets += [max(1, args.batch // 2), max(1, args.batch // 4)]
+    from neural_enhanced_super_resolution_tpu.pipeline import _sharpen_batch
     for tile in args.tile_sizes:
         side = tile + 2 * args.halo
         for b in buckets:
@@ -75,6 +78,14 @@ def main() -> int:
             float(jnp.sum(out.astype(jnp.float32)))
             print(f"warmed esrgan tile={tile} halo={args.halo} "
                   f"batch={b}: {time.perf_counter() - t0:.1f}s")
+        # the streamed final iteration's fused batch sharpen (pipeline
+        # _streamed_esrgan_final) runs on the x4 output tiles
+        t0 = time.perf_counter()
+        out4 = _sharpen_batch(jnp.asarray(rng.integers(
+            0, 256, (args.batch, 4 * side, 4 * side, 3), dtype=np.uint8)))
+        float(jnp.sum(out4.astype(jnp.float32)))
+        print(f"warmed streamed sharpen tile={tile}: "
+              f"{time.perf_counter() - t0:.1f}s")
 
     if args.diffusion:
         from neural_enhanced_super_resolution_tpu.models.diffusion import (
