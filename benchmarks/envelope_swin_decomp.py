@@ -16,7 +16,8 @@ Variants:
               scores/softmax/av and the head transposes (o = q)
   no_attn     whole window-attention call -> identity
   no_mlp      fc1/gelu/fc2 -> identity
-  no_shiftpad remove the cyclic rolls (shifted windows become unshifted)
+(the cyclic shift/roll share is part of the no_attn-minus-no_attnmix
+residual; it has no standalone variant)
 
 Run ON TPU: python benchmarks/envelope_swin_decomp.py
 """

@@ -65,7 +65,13 @@ def main():
             continue
         rates[ab or "base"] = res
         print(f"# {ab or 'base':10s} {res}", flush=True)
-    base = rates["base"]["sd_x4_steps_per_s"]
+    base = rates.get("base", {}).get("sd_x4_steps_per_s")
+    if not base or base <= 0:
+        # Without a usable base slope no share can be derived; keep the
+        # per-variant rates (each cost up to 40 min) rather than crashing.
+        print(json.dumps({"latent": SIZE, "error": "no usable base rate",
+                          "rates": rates}))
+        return
     shares = {}
     for ab in ABLATIONS:
         key = ab or "base"

@@ -55,7 +55,19 @@ _OP_TILE = 512
 _OP_HALO = 16
 
 
-def _tiled_unit_op(fn, img, *extra_channels, batch_tiles=32, tail="full"):
+@functools.cache
+def _default_tail() -> str:
+    """One-program ("full") tail policy pays off where per-executable
+    first-execution costs are seconds (remote/tunnel accelerator hosts,
+    RESULTS.md round-4 warm-serving study); on CPU extra jit
+    specializations are cheap and padding the tail to a full batch is pure
+    wasted compute, so bucket there — mirroring config tile_tail's
+    base-vs-tpu-overlay split (runtime/config.py)."""
+    import jax as _jax
+    return "full" if _jax.default_backend() != "cpu" else "bucket"
+
+
+def _tiled_unit_op(fn, img, *extra_channels, batch_tiles=32, tail=None):
     """Run a local (H, W, C)->(H, W, C) op via the fixed-tile path.
 
     extra_channels: additional (H, W) planes (e.g. a segmentation mask)
@@ -65,10 +77,14 @@ def _tiled_unit_op(fn, img, *extra_channels, batch_tiles=32, tail="full"):
     size or iteration — on remote/tunnel TPU hosts each extra executable
     costs first-execution seconds per process (RESULTS.md round-4
     warm-serving study). Expensive-per-tile ops (NL-means) pass
-    tail="bucket" so small images don't pay 31 padded tiles of real work.
+    tail="bucket" so small images don't pay 31 padded tiles of real work;
+    tail=None resolves per backend (_default_tail).
     """
     from neural_enhanced_super_resolution_tpu.parallel.tiling import (
         process_tiled)
+
+    if tail is None:
+        tail = _default_tail()
 
     img = jnp.asarray(img)
     if max(int(img.shape[0]), int(img.shape[1])) <= _TILED_THRESHOLD:

@@ -226,18 +226,13 @@ def process_tiled_to_host(model_fn: Callable[[jax.Array], jax.Array], image,
     canvas = None
 
     def land(core_dev, start, valid):
-        nonlocal canvas
         cores = np.asarray(core_dev)  # blocks in this thread until computed
-        if canvas is None:
-            canvas = np.empty((ny * to, nx * to, cores.shape[-1]),
-                              dtype=cores.dtype)
         for j in range(valid):
             iy, ix = divmod(start + j, nx)
             canvas[iy * to:(iy + 1) * to, ix * to:(ix + 1) * to] = cores[j]
 
     futures = []
     with concurrent.futures.ThreadPoolExecutor(fetch_threads) as pool:
-        first = None
         for start in range(0, n, batch_tiles):
             if cancel_check is not None and cancel_check():
                 for f in futures:
@@ -253,12 +248,13 @@ def process_tiled_to_host(model_fn: Callable[[jax.Array], jax.Array], image,
                     axis=0)
             out = model_fn(chunk)
             core = out[:valid, ho:ho + to, ho:ho + to, :]  # crop on device
-            if first is None:
-                # allocate the canvas on the main thread before fanning out
-                first = (core, start, valid)
-                land(*first)
-            else:
-                futures.append(pool.submit(land, core, start, valid))
+            if canvas is None:
+                # shape/dtype come from the aval — no device sync, so chunk 0
+                # streams on the pool like every other chunk and the device
+                # moves straight on to chunk 1.
+                canvas = np.empty((ny * to, nx * to, core.shape[-1]),
+                                  dtype=core.dtype)
+            futures.append(pool.submit(land, core, start, valid))
         for f in futures:
             f.result()  # propagate fetch/compute errors
     return canvas[:orig_h * scale, :orig_w * scale, :]

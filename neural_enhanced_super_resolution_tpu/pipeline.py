@@ -34,7 +34,7 @@ from neural_enhanced_super_resolution_tpu.models.weights import (
     load_state_dict, rrdbnet_params_from_state_dict)
 from neural_enhanced_super_resolution_tpu.ops.blur import gaussian_blur
 from neural_enhanced_super_resolution_tpu.ops.enhance import (
-    adaptive_sharpen, ensemble, masked_sharpen, preprocess)
+    adaptive_sharpen, ensemble, masked_sharpen)
 from neural_enhanced_super_resolution_tpu.ops.resize import resize
 from neural_enhanced_super_resolution_tpu.parallel.tiling import (
     TilingCancelled, process_tiled, process_tiled_to_host,
@@ -125,7 +125,7 @@ class SuperResolutionPipeline:
             logger.info("Data parallelism: %d-device tile mesh", want)
         return self._dp_state
 
-    def _use_strips(self, image, mesh) -> bool:
+    def _use_strips(self, image, mesh, halo: int) -> bool:
         """Host-side dispatch for config["shard_strategy"]:
 
         "tiles" (default)  - tile-batch DP only;
@@ -134,8 +134,12 @@ class SuperResolutionPipeline:
                              16 MP force-tiling threshold (nesr.py:787-790),
                              tiles otherwise.
 
-        Strips need every chip's strip to be at least ``halo`` rows tall
-        (parallel/sharded.halo_exchange_strips slices strip[:halo]).
+        Strips need every chip's strip to be strictly taller than ``halo``
+        rows: halo_exchange_strips sends strip[:halo] / strip[-halo:] to the
+        neighbours and reflects strip[1:halo+1] at the boundary chips, so
+        rows must be >= halo + 1.  ``halo`` is the value this _run_tiled
+        call will actually use (the fallback rungs pass their own padding,
+        not config tile_halo).
         """
         strategy = self.config.get("shard_strategy", "tiles")
         if strategy not in ("strips", "auto"):
@@ -146,10 +150,10 @@ class SuperResolutionPipeline:
             return False
         n = mesh.devices.size
         rows = -(-h // n)
-        if rows < self.config.get("tile_halo", 16):
-            logger.warning("shard_strategy=%s: %d rows over %d chips is "
-                           "thinner than the halo; using tiles", strategy,
-                           h, n)
+        if rows < halo + 1:
+            logger.warning("shard_strategy=%s: %d rows/chip over %d chips is "
+                           "thinner than the %d-px halo; using tiles",
+                           strategy, rows, n, halo)
             return False
         return True
 
@@ -164,7 +168,7 @@ class SuperResolutionPipeline:
         if batch_tiles is None:
             batch_tiles = self.config.get("tile_batch")
         mesh = self._parallel_layout()["mesh"]
-        if mesh is not None and self._use_strips(image, mesh):
+        if mesh is not None and self._use_strips(image, mesh, halo):
             # SP/CP path: strip-shard the whole image across the mesh with
             # ICI ppermute halo exchange (parallel/sharded.py) — the
             # multi-chip answer to the reference's huge-single-image tiling
@@ -559,20 +563,25 @@ class SuperResolutionPipeline:
         mode = "repeat12" if cfg.num_in_ch == 12 else "direct"
 
         def fwd(tiles):
-            with jax.default_device(cpu):
-                return _esrgan_jit(params_cpu,
-                                   jax.device_put(jnp.asarray(tiles), cpu),
-                                   cfg, self.config["precision"], mode)
+            return _esrgan_jit(params_cpu,
+                               jax.device_put(jnp.asarray(tiles), cpu),
+                               cfg, self.config["precision"], mode)
 
         h, w = int(image.shape[0]), int(image.shape[1])
         tile = min(int(self.config["max_tile_size"]), 256)
-        if max(h, w) <= 2 * tile:
-            out = fwd(jnp.asarray(image)[None])[0]
-        else:
-            out = process_tiled(fwd, np.asarray(image), tile_size=tile,
-                                halo=self.config.get("tile_halo", 16),
-                                scale=cfg.scale,
-                                cancel_check=self._cancel_check())
+        # Same whole-vs-tiled routing rule as _esrgan_whole: the tile grid's
+        # reflect padding needs pad < side, which min(h, w) > tile // 2
+        # guarantees. The whole rung (tile extraction and stitching included)
+        # runs under the CPU default device — the rescue must not dispatch
+        # anything to the backend that just failed.
+        with jax.default_device(cpu):
+            if min(h, w) <= tile // 2:
+                out = fwd(jnp.asarray(np.asarray(image))[None])[0]
+            else:
+                out = process_tiled(fwd, np.asarray(image), tile_size=tile,
+                                    halo=self.config.get("tile_halo", 16),
+                                    scale=cfg.scale,
+                                    cancel_check=self._cancel_check())
         # back onto the default backend for the rest of the pipeline
         return jnp.asarray(np.asarray(out))
 
@@ -811,6 +820,10 @@ class SuperResolutionPipeline:
         """Array-in/array-out enhancement (the host-free core of
         enhance_image). Input/output are RGB uint8."""
         self._load_models()
+        # The prewarm dispatch has served its purpose once real work starts;
+        # drop the parked outputs (~100 MB HBM at TPU defaults) so they don't
+        # shrink headroom for large canvases.
+        self._prewarm_refs = None
         if not self.models:
             logger.warning("No models were loaded. Using basic upscaling only.")
         iterations = iterations or self.config["iterations"]

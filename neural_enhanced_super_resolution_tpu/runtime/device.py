@@ -69,7 +69,14 @@ def device_fetch(x, num_threads: int | None = None,
     import concurrent.futures
 
     rows = x.shape[0]
-    step = -(-rows // num_threads)
+    # Each in-flight chunk materialises x[a:a+step] as a fresh device buffer
+    # before the copy, so peak extra HBM is num_threads * chunk_bytes. Cap
+    # the chunk size (not just the count) so fetching a multi-hundred-MB
+    # canvas never transiently doubles its HBM footprint.
+    chunk_mb = int(os.environ.get("NESR_FETCH_CHUNK_MB", "32"))
+    row_bytes = max(1, nbytes // rows)
+    step = max(1, (chunk_mb << 20) // row_bytes)
+    step = min(step, -(-rows // num_threads))
     out = np.empty(x.shape, dtype=x.dtype)
 
     def fetch(a):

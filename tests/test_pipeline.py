@@ -214,6 +214,29 @@ def test_strip_sharding_too_thin_uses_tiles(tmp_path, tiny_ckpt, test_image):
     assert np.array_equal(out, ref)
 
 
+def test_strip_sharding_exact_halo_rows_uses_guard(tmp_path, tiny_ckpt,
+                                                   test_image, caplog):
+    """rows/chip == halo must be caught by the host-side guard (the halo
+    exchange reflects strip[1:halo+1], needing rows >= halo + 1), not by a
+    trace failure inside shard_map that silently degrades to tiles."""
+    import logging
+    img = test_image[:128, :128]  # 16 rows/chip over 8 devices == halo 16
+    pipe = _mk_pipeline(tmp_path, tiny_ckpt, shard_strategy="strips",
+                        adaptive_sharpening=False, enable_tiling=True,
+                        max_megapixels=0.001, max_tile_size=48, tile_halo=16,
+                        data_parallel="auto")
+    with caplog.at_level(logging.WARNING, logger="nesr"):
+        out = pipe.enhance_array(img)
+    ref = _mk_pipeline(tmp_path, tiny_ckpt, shard_strategy="tiles",
+                       adaptive_sharpening=False, enable_tiling=True,
+                       max_megapixels=0.001, max_tile_size=48, tile_halo=16,
+                       data_parallel="auto").enhance_array(img)
+    assert np.array_equal(out, ref)
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("thinner than" in m for m in msgs)
+    assert not any("Strip-sharded path failed" in m for m in msgs)
+
+
 def test_parallel_layout_splits_for_diffusion_overlap(tmp_path, tiny_ckpt):
     """With use_diffusion + stage_overlap on a multi-device host, the layout
     reserves a remainder device for the denoise loop (real stage overlap)."""
@@ -383,6 +406,20 @@ def test_cpu_backend_fallback_rung(tmp_path, tiny_ckpt, test_image,
     out = pipe._apply_esrgan(img)
     assert calls == ["12ch", "3ch", "tiled"]
     assert out.shape == (192, 192, 3)  # x4: the model ran, not bicubic (x2)
+
+    # Elongated images must take the same whole-vs-tiled routing rule as
+    # _esrgan_whole: a 20x150 frame can't be reflect-padded to a 48-px tile
+    # grid (pad > side), so the rescue runs the whole forward.
+    pipe_thin = _mk_pipeline(tmp_path, tiny_ckpt, adaptive_sharpening=False,
+                             fallback_to_cpu=True, max_tile_size=48)
+    pipe_thin._load_models()
+    monkeypatch.setattr(pipe_thin, "_apply_esrgan_12channel",
+                        device_boom("12ch"))
+    monkeypatch.setattr(pipe_thin, "_apply_esrgan_3channel",
+                        device_boom("3ch"))
+    monkeypatch.setattr(pipe_thin, "_esrgan_tiled", device_boom("tiled"))
+    out_thin = pipe_thin._apply_esrgan(test_image[:20, :150])
+    assert out_thin.shape == (80, 600, 3)  # x4, not the bicubic floor
 
     # and with the rung disabled, the same failures hit the bicubic floor
     pipe_off = _mk_pipeline(tmp_path, tiny_ckpt, adaptive_sharpening=False,
