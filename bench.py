@@ -255,5 +255,34 @@ def _bench_sd_x4(size: int = 128, pairs: int = 4) -> dict:
     return out
 
 
+def _main_with_backend_retry() -> int:
+    """The remote TPU attachment can transiently refuse backend init
+    (observed: 'Unable to initialize backend ... UNAVAILABLE', self-healing
+    in 10-30 min). Since this script is the round's one recorded headline,
+    retry init failures for up to NESR_BENCH_INIT_RETRY_S seconds (default
+    1800) instead of losing the measurement to a flaky attach. JAX caches a
+    failed backend for the life of the process, so the retry re-execs a
+    fresh interpreter with the deadline carried in the environment."""
+    deadline_env = "NESR_BENCH_INIT_DEADLINE"
+    deadline = float(os.environ.get(deadline_env) or (
+        time.time() + float(os.environ.get("NESR_BENCH_INIT_RETRY_S",
+                                           "1800"))))
+    try:
+        return main()
+    except RuntimeError as exc:
+        msg = str(exc)
+        transient = ("Unable to initialize backend" in msg
+                     or "UNAVAILABLE" in msg)
+        delay = 60.0
+        if not transient or time.time() + delay > deadline:
+            raise
+        print(f"# backend init failed ({msg.splitlines()[0][:120]}); "
+              f"retrying in {delay:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(delay)
+        os.environ[deadline_env] = str(deadline)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)]
+                 + sys.argv[1:])
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_backend_retry())
