@@ -80,8 +80,14 @@ def main():
         r = rates[key].get("sd_x4_steps_per_s")
         if r and r > 0:
             shares[key] = round(1.0 - base / r, 3)
+    # cfg overlaps every other component (ablating it halves the UNet
+    # batch, i.e. removes half of attention/ff/conv too), so it is
+    # excluded from the disjoint-residual arithmetic. Its share is still
+    # reported: 1 - base/rate_cfg is the cost of the uncond half — and if
+    # it exceeds 0.5, batch-2 runs the components LESS efficiently than
+    # two batch-1 passes would (see RESULTS.md round-4 decomposition).
     shares["conv_resnet_residual"] = round(
-        1.0 - sum(max(v, 0.0) for v in shares.values()), 3)
+        1.0 - sum(max(v, 0.0) for k, v in shares.items() if k != "cfg"), 3)
     out = {"latent": SIZE, "base_steps_per_s": base,
            "step_shares": shares}
     print(json.dumps(out))

@@ -356,7 +356,8 @@ class SuperResolutionPipeline:
                     load_upscale_pipeline)
                 self.models["diffusion"] = load_upscale_pipeline(
                     cfg.get("diffusion_model_path"),
-                    compute_dtype=cfg["precision"])
+                    compute_dtype=cfg["precision"],
+                    cfg_split=cfg.get("sd_cfg_split"))
                 diff_dev = self._parallel_layout()["diffusion_device"]
                 if diff_dev is not None:
                     # Stage overlap: pin the denoise loop to the split-mesh

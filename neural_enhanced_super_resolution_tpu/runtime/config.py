@@ -141,6 +141,12 @@ def default_config() -> dict[str, Any]:
         # ops/enhance.denoise_stage for the residual-transfer scheme.
         "denoise_max_megapixels": None,
         "num_inference_steps": None,  # None -> per-device default (10/20)
+        # Classifier-free guidance as two batch-n UNet passes instead of
+        # one batch-2n pass. None -> on (NESR_SD_CFG_SPLIT=0 disables).
+        # Identical per-sample math; measured ~16% faster per denoise step
+        # on v5e at 128^2 latents, where the batched step is super-linear
+        # in batch (benchmarks/envelope_unet_batch.py).
+        "sd_cfg_split": None,
     }
 
 

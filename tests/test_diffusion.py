@@ -263,6 +263,23 @@ def test_pipeline_load_and_upscale(tiny_snapshot):
     assert np.array_equal(out, out2)
 
 
+def test_cfg_split_matches_batched(tiny_snapshot):
+    """Split-CFG (two batch-n passes) computes the same per-sample math as
+    the batched [uncond, cond] pass; outputs must agree to fusion-level
+    float tolerance (uint8: allow off-by-one from rounding)."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    outs = {}
+    for split in (False, True):
+        pipe = load_upscale_pipeline(tiny_snapshot, compute_dtype="float32",
+                                     cfg_split=split)
+        assert pipe.cfg_split is split
+        outs[split] = pipe(prompt="a photo", image=img, noise_level=20,
+                           num_inference_steps=3, guidance_scale=7.5, seed=0)
+    diff = np.abs(outs[True].astype(np.int16) - outs[False].astype(np.int16))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
+
+
 def test_pipeline_noise_level_guard(tiny_snapshot):
     pipe = load_upscale_pipeline(tiny_snapshot, compute_dtype="float32")
     with pytest.raises(ValueError):
