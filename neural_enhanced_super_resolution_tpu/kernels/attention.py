@@ -39,14 +39,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     l_scr[:] = jnp.zeros_like(l_scr)
     acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale
+    # Dots run in the INPUT dtype with f32 accumulation (bf16 operands in
+    # production — attention_auto casts). Measured EQUAL to the previous
+    # explicit-f32-operand version on the whole UNet step (39.7 vs
+    # 39.2 ms — RESULTS.md round-4 flash-dtype record): the kernel is not
+    # matmul-rate-bound at these shapes. Kept because it matches the XLA
+    # einsum path's bf16 precision and lets Mosaic skip the upcast. The
+    # sm_scale fold happens on the f32 scores (more accurate than
+    # pre-scaling a bf16 q); softmax arithmetic stays f32.
+    q = q_ref[0]
 
     def body(ki, _):
-        k_blk = k_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        k_blk = k_ref[0, pl.ds(ki * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(ki * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)  # (bq, block_k)
+            preferred_element_type=jnp.float32) * sm_scale  # (bq, block_k)
 
         m_prev = m_scr[:, 0]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
@@ -55,7 +63,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
 
         l_new = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
         acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_scr[:, 0] = m_new
         l_scr[:, 0] = l_new
@@ -72,8 +80,13 @@ def _flash_attention_impl(q, k, v, block_q, block_k, interpret):
 
 
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
-                    block_q: int = 256, block_k: int = 256,
+                    block_q: int = 256, block_k: int = 4096,
                     interpret: bool | None = None) -> jax.Array:
+    """Defaults are the measured v5e optimum at the UNet's shapes: a LARGE
+    block_k (clamped to the sequence) minimises online-softmax rescale
+    passes — at 4096 tokens the whole KV runs in ONE pass, taking the
+    split-CFG UNet step from 39.6 to 26.8 ms (RESULTS.md round-4 flash
+    block sweep). VMEM at (256, 4096): 4 MB f32 scores + ~1 MB KV."""
     if interpret is None:
         # Pallas compiles only on TPU; elsewhere run the interpreter (tests).
         interpret = jax.default_backend() != "tpu"
@@ -92,6 +105,14 @@ def _flash_attention_body(q: jax.Array, k: jax.Array, v: jax.Array,
     b, h, sq, d = q.shape
     skv = k.shape[2]
     sm_scale = 1.0 / math.sqrt(d)
+
+    # Clamp blocks to the (tile-rounded) sequence lengths so a large
+    # default block_k (fewer online-softmax rescale passes — measured 1.45x
+    # on the UNet step, RESULTS.md round-4 flash block sweep) never pads a
+    # SHORT sequence up to the block size. Lane/sublane granularity: 128
+    # for the minor (kv) dim, 16 sublanes for the q dim (bf16-safe).
+    block_k = max(128, min(block_k, -(-skv // 128) * 128))
+    block_q = max(16, min(block_q, -(-sq // 16) * 16))
 
     # Pad sequence dims to block multiples. Padded KV entries must not
     # contribute: give them a score of -inf by padding K with zeros and
@@ -182,6 +203,10 @@ def attention_auto(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     qh = q.reshape(b, sq, num_heads, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(b, k.shape[1], num_heads, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(b, v.shape[1], num_heads, hd).transpose(0, 2, 1, 3)
+    # Block-geometry tuning surface (benchmarks/envelope_unet_batch.py
+    # sweep); defaults are the measured optimum at the UNet's shapes.
+    bq = int(os.environ.get("NESR_FLASH_BLOCK_Q", 256))
+    bk = int(os.environ.get("NESR_FLASH_BLOCK_K", 4096))
     out = flash_attention(qh.astype(dtype), kh.astype(dtype),
-                          vh.astype(dtype))
+                          vh.astype(dtype), block_q=bq, block_k=bk)
     return out.transpose(0, 2, 1, 3).reshape(b, sq, dm).astype(jnp.float32)
