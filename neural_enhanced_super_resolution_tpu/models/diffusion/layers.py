@@ -24,9 +24,11 @@ __all__ = ["conv2d", "linear", "group_norm", "layer_norm", "silu",
            "attention", "timestep_embedding", "nearest_upsample_x2"]
 
 # Profiling-only ablation switches (benchmarks/profile_sd_step.py): each
-# named component ("groupnorm", "selfattn", "crossattn", "ff", "cfg")
-# becomes a cheap passthrough so slope-timed step rates decompose the
-# denoise step (VERDICT round 3 #4b). Read at TRACE time; unset in
+# named component ("groupnorm", "selfattn", "crossattn", "crossattn_core",
+# "ff", "cfg") becomes a cheap passthrough so slope-timed step rates
+# decompose the denoise step (VERDICT round 3 #4b). "crossattn_core" keeps
+# the layer-norm + q/k/v/out projections and ablates only the attention
+# einsums, splitting the crossattn share. Read at TRACE time; unset in
 # production — the default frozenset() compiles identical programs.
 SD_ABLATE = frozenset(
     t for t in os.environ.get("NESR_SD_ABLATE", "").split(",") if t)
@@ -109,6 +111,46 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), vh,
                      preferred_element_type=jnp.float32)
     return out.reshape(b, sq, d)
+
+
+def attention_qmajor(q: jax.Array, k: jax.Array, v: jax.Array,
+                     num_heads: int, mask: jax.Array | None = None,
+                     dtype=jnp.bfloat16) -> jax.Array:
+    """Head-last ("q-major") attention: scores bqhd,bkhd->bqhk.
+
+    Keeps the big q tensor in its natural (B, Sq, H, d) layout end to end —
+    no transpose into and out of head-major — at the cost of a softmax over
+    a non-minor axis. A/B'd against the bhqk form on the UNet's
+    cross-attention shapes (skv=77): benchmarks/envelope_crossattn.py.
+    """
+    b, sq, d = q.shape
+    skv = k.shape[1]
+    hd = d // num_heads
+    qh = q.reshape(b, sq, num_heads, hd).astype(dtype)
+    kh = k.reshape(b, skv, num_heads, hd).astype(dtype)
+    vh = v.reshape(b, skv, num_heads, hd).astype(dtype)
+    scores = jnp.einsum("bqhd,bkhd->bqhk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(hd)
+    if mask is not None:
+        # mask arrives in the bhqk convention (..., heads, q, k); scores
+        # here are (..., q, heads, k) — swap the two middle axes.
+        scores = scores + jnp.swapaxes(mask, -3, -2)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bqhk,bkhd->bqhd", probs.astype(dtype), vh,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, sq, d)
+
+
+# Cross-attention formulation switch (trace-time, like SD_ABLATE): the
+# skv=77 text-context attention is too skinny for the flash kernel, so it
+# runs one of the XLA formulations above. Default = qmajor, the measured
+# in-context winner (+10.5% on the whole UNet step: 34.69 vs 31.40 steps/s,
+# spreads ~0.7 — RESULTS.md round-4 cross-attention record); bhqk stays
+# available for A/B via NESR_CROSSATTN=bhqk.
+CROSSATTN_FORMS = {"bhqk": attention, "qmajor": attention_qmajor}
+cross_attention = CROSSATTN_FORMS[
+    os.environ.get("NESR_CROSSATTN", "qmajor")]
 
 
 def timestep_embedding(t: jax.Array, dim: int, flip_sin_to_cos: bool = True,

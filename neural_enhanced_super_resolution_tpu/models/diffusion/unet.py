@@ -98,7 +98,7 @@ def _basic_transformer(params, name, x, context, heads, dtype):
     from neural_enhanced_super_resolution_tpu.kernels.attention import (
         attention_auto)
     from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
-        SD_ABLATE)
+        SD_ABLATE, cross_attention)
     if "selfattn" not in SD_ABLATE:
         h = layer_norm(x, params, f"{name}.norm1")
         q = linear(h, params, f"{name}.attn1.to_q", dtype=dtype)
@@ -107,12 +107,22 @@ def _basic_transformer(params, name, x, context, heads, dtype):
         h = attention_auto(q, k, v, heads, dtype=dtype)
         x = x + linear(h, params, f"{name}.attn1.to_out.0", dtype=dtype)
     if "crossattn" not in SD_ABLATE:
-        h = layer_norm(x, params, f"{name}.norm2")
-        q = linear(h, params, f"{name}.attn2.to_q", dtype=dtype)
-        k = linear(context, params, f"{name}.attn2.to_k", dtype=dtype)
-        v = linear(context, params, f"{name}.attn2.to_v", dtype=dtype)
-        h = attention(q, k, v, heads, dtype=dtype)
-        x = x + linear(h, params, f"{name}.attn2.to_out.0", dtype=dtype)
+        if "crossattn_ln" in SD_ABLATE:  # profiling: layer-norm only
+            x = x + 0.001 * layer_norm(x, params, f"{name}.norm2")
+        else:
+            h = layer_norm(x, params, f"{name}.norm2")
+            q = linear(h, params, f"{name}.attn2.to_q", dtype=dtype)
+            if "crossattn_kv" in SD_ABLATE:  # profiling: no ctx projections
+                h = q
+            elif "crossattn_core" in SD_ABLATE:  # profiling: projections only
+                k = linear(context, params, f"{name}.attn2.to_k", dtype=dtype)
+                v = linear(context, params, f"{name}.attn2.to_v", dtype=dtype)
+                h = q + jnp.sum(k) * 0 + jnp.sum(v) * 0
+            else:
+                k = linear(context, params, f"{name}.attn2.to_k", dtype=dtype)
+                v = linear(context, params, f"{name}.attn2.to_v", dtype=dtype)
+                h = cross_attention(q, k, v, heads, dtype=dtype)
+            x = x + linear(h, params, f"{name}.attn2.to_out.0", dtype=dtype)
     if "ff" in SD_ABLATE:
         return x
     h = layer_norm(x, params, f"{name}.norm3")

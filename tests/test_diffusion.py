@@ -156,6 +156,26 @@ def test_clip_attention_matches_torch_mha():
     assert np.abs(ours - ref).max() < 1e-4
 
 
+def test_attention_qmajor_matches_bhqk():
+    """The q-major cross-attention formulation (production default on the
+    UNet's skv=77 text context — RESULTS.md round-4 cross-attention record)
+    is numerically the same attention, including the bhqk mask convention."""
+    from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
+        attention, attention_qmajor)
+    rng = np.random.default_rng(3)
+    b, sq, skv, d, h = 2, 9, 5, 16, 2
+    q = jnp.asarray(rng.standard_normal((b, sq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, skv, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, skv, d)), jnp.float32)
+    mask = jnp.asarray(
+        np.where(rng.random((1, 1, sq, skv)) < 0.3, -np.inf, 0.0), jnp.float32)
+    for m in (None, mask):
+        ref = np.asarray(attention(q, k, v, h, mask=m, dtype=jnp.float32))
+        got = np.asarray(
+            attention_qmajor(q, k, v, h, mask=m, dtype=jnp.float32))
+        assert np.abs(got - ref).max() < 1e-5
+
+
 # --------------------------------------------------------- forward shapes ---
 
 def test_unet_forward_shapes_and_spec():
