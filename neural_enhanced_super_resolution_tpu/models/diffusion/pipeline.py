@@ -207,6 +207,18 @@ def _upscale_jit(unet_params, vae_params, image, embeds, timesteps,
 
     from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
         SD_ABLATE)
+    from neural_enhanced_super_resolution_tpu.models.diffusion.unet import (
+        precompute_context_kv)
+
+    # Hoist the text-context K/V projections out of the step loop: they are
+    # step-invariant, but left inside the fori_loop body XLA re-executes
+    # them every step as ~64 skinny (77, ctx_dim) matmuls costing ~14 ms of
+    # a 29 ms step (ablation split, RESULTS.md round-4 cross-attention
+    # record). Computed once here they become loop-constant captures.
+    kv_all = precompute_context_kv(unet_params, embeds, unet_cfg,
+                                   compute_dtype)
+    kv_uncond = {k: (a[:n], b[:n]) for k, (a, b) in kv_all.items()}
+    kv_cond = {k: (a[n:], b[n:]) for k, (a, b) in kv_all.items()}
 
     def body(i, latents):
         t = timesteps[i]
@@ -216,7 +228,8 @@ def _upscale_jit(unet_params, vae_params, image, embeds, timesteps,
             # classifier-free-guidance doubling)
             unet_in = jnp.concatenate([latents, noisy_img], axis=-1)
             eps = unet_forward(unet_params, unet_in, t, embeds[1:],
-                               nl2[:n], unet_cfg, compute_dtype)
+                               nl2[:n], unet_cfg, compute_dtype,
+                               context_kv=kv_cond)
         elif cfg_split:
             # split-CFG schedule: two batch-n passes instead of one
             # batch-2n pass (measured super-linear batch cost — see
@@ -224,15 +237,17 @@ def _upscale_jit(unet_params, vae_params, image, embeds, timesteps,
             # per-sample math as the batched branch below.
             unet_in = jnp.concatenate([latents, noisy_img], axis=-1)
             eps_uncond = unet_forward(unet_params, unet_in, t, embeds[:n],
-                                      nl2[:n], unet_cfg, compute_dtype)
+                                      nl2[:n], unet_cfg, compute_dtype,
+                                      context_kv=kv_uncond)
             eps_cond = unet_forward(unet_params, unet_in, t, embeds[n:],
-                                    nl2[:n], unet_cfg, compute_dtype)
+                                    nl2[:n], unet_cfg, compute_dtype,
+                                    context_kv=kv_cond)
             eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
         else:
             lat2 = jnp.concatenate([latents, latents], axis=0)
             unet_in = jnp.concatenate([lat2, img2], axis=-1)
             eps = unet_forward(unet_params, unet_in, t, embeds, nl2,
-                               unet_cfg, compute_dtype)
+                               unet_cfg, compute_dtype, context_kv=kv_all)
             eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
             eps = eps_uncond + guidance_scale * (eps_cond - eps_uncond)
         if is_ddpm:

@@ -92,7 +92,7 @@ def _geglu_ff(params, name, x, dtype):
     return linear(a * jax.nn.gelu(gate), params, f"{name}.net.2", dtype=dtype)
 
 
-def _basic_transformer(params, name, x, context, heads, dtype):
+def _basic_transformer(params, name, x, context, heads, dtype, kv=None):
     # self-attention over the latent grid: Pallas flash kernel on TPU for
     # long sequences, XLA einsum otherwise (kernels/attention.py).
     from neural_enhanced_super_resolution_tpu.kernels.attention import (
@@ -114,14 +114,20 @@ def _basic_transformer(params, name, x, context, heads, dtype):
             q = linear(h, params, f"{name}.attn2.to_q", dtype=dtype)
             if "crossattn_kv" in SD_ABLATE:  # profiling: no ctx projections
                 h = q
-            elif "crossattn_core" in SD_ABLATE:  # profiling: projections only
-                k = linear(context, params, f"{name}.attn2.to_k", dtype=dtype)
-                v = linear(context, params, f"{name}.attn2.to_v", dtype=dtype)
-                h = q + jnp.sum(k) * 0 + jnp.sum(v) * 0
             else:
-                k = linear(context, params, f"{name}.attn2.to_k", dtype=dtype)
-                v = linear(context, params, f"{name}.attn2.to_v", dtype=dtype)
-                h = cross_attention(q, k, v, heads, dtype=dtype)
+                if kv is not None:
+                    # K/V precomputed ONCE per denoise call (hoisted out of
+                    # the step loop — precompute_context_kv below).
+                    k, v = kv
+                else:
+                    k = linear(context, params, f"{name}.attn2.to_k",
+                               dtype=dtype)
+                    v = linear(context, params, f"{name}.attn2.to_v",
+                               dtype=dtype)
+                if "crossattn_core" in SD_ABLATE:  # profiling: no einsums
+                    h = q + jnp.sum(k) * 0 + jnp.sum(v) * 0
+                else:
+                    h = cross_attention(q, k, v, heads, dtype=dtype)
             x = x + linear(h, params, f"{name}.attn2.to_out.0", dtype=dtype)
     if "ff" in SD_ABLATE:
         return x
@@ -129,16 +135,53 @@ def _basic_transformer(params, name, x, context, heads, dtype):
     return x + _geglu_ff(params, f"{name}.ff", h, dtype)
 
 
-def _transformer2d(params, name, x, context, heads, groups, dtype):
+def _transformer2d(params, name, x, context, heads, groups, dtype, kv=None):
     n, h_, w_, c = x.shape
     res = x
     x = group_norm(x, params, f"{name}.norm", groups, eps=1e-6)
     x = linear(x.reshape(n, h_ * w_, c), params, f"{name}.proj_in",
                dtype=dtype)
     x = _basic_transformer(params, f"{name}.transformer_blocks.0", x, context,
-                           heads, dtype)
+                           heads, dtype, kv=kv)
     x = linear(x, params, f"{name}.proj_out", dtype=dtype)
     return x.reshape(n, h_, w_, c) + res
+
+
+def crossattn_layer_names(cfg: "UNetConfig") -> tuple:
+    """The _transformer2d layer names of a forward pass, in call order."""
+    names = []
+    for bi, btype in enumerate(cfg.down_block_types):
+        if btype == "CrossAttnDownBlock2D":
+            for li in range(cfg.layers_per_block):
+                names.append(f"down_blocks.{bi}.attentions.{li}")
+    if cfg.mid_block_type == "UNetMidBlock2DCrossAttn":
+        names.append("mid_block.attentions.0")
+    for ui, btype in enumerate(cfg.up_block_types):
+        if btype == "CrossAttnUpBlock2D":
+            for li in range(cfg.layers_per_block + 1):
+                names.append(f"up_blocks.{ui}.attentions.{li}")
+    return tuple(names)
+
+
+def precompute_context_kv(params: dict, context: jax.Array, cfg: "UNetConfig",
+                          compute_dtype: str = "bfloat16") -> dict:
+    """Hoist the text-context K/V projections out of the denoise loop.
+
+    Every attn2 layer's K/V depends only on the text embedding, which is
+    constant across denoise steps — but computed inside the step fori_loop
+    they compile to per-step skinny (77, ctx_dim) matmuls that XLA does NOT
+    hoist, measured at ~half the whole UNet step's wall-clock (ablation
+    split, RESULTS.md round-4 cross-attention record). Returns
+    {transformer2d_name: (k, v)} for unet_forward's context_kv argument;
+    slice the leading batch axis to match each pass's context batch.
+    """
+    dtype = jnp.dtype(compute_dtype)
+    kv = {}
+    for name in crossattn_layer_names(cfg):
+        prefix = f"{name}.transformer_blocks.0.attn2"
+        kv[name] = (linear(context, params, f"{prefix}.to_k", dtype=dtype),
+                    linear(context, params, f"{prefix}.to_v", dtype=dtype))
+    return kv
 
 
 def _downsample(params, name, x, dtype):
@@ -161,11 +204,18 @@ def _upsample(params, name, x, dtype):
 def unet_forward(params: dict, sample: jax.Array, timestep: jax.Array,
                  encoder_hidden_states: jax.Array,
                  class_labels: jax.Array | None, cfg: UNetConfig,
-                 compute_dtype: str = "bfloat16") -> jax.Array:
-    """sample: (N, H, W, in_channels); returns (N, H, W, out_channels)."""
+                 compute_dtype: str = "bfloat16",
+                 context_kv: dict | None = None) -> jax.Array:
+    """sample: (N, H, W, in_channels); returns (N, H, W, out_channels).
+
+    context_kv: optional precomputed per-layer cross-attention K/V
+    (precompute_context_kv) — pass when calling from inside a step loop so
+    the context projections don't recompute every step.
+    """
     dtype = jnp.dtype(compute_dtype)
     groups = cfg.norm_num_groups
     ctx = encoder_hidden_states
+    ckv = context_kv or {}
 
     # time + class embeddings
     temb = timestep_embedding(jnp.broadcast_to(jnp.atleast_1d(timestep),
@@ -189,8 +239,10 @@ def unet_forward(params: dict, sample: jax.Array, timestep: jax.Array,
             if btype == "CrossAttnDownBlock2D":
                 # NB: diffusers' "attention_head_dim" is historically the
                 # NUMBER of heads in SD1/SD-x4-era UNet configs.
-                x = _transformer2d(params, f"{bname}.attentions.{li}", x, ctx,
-                                   cfg.attention_head_dim[bi], groups, dtype)
+                lname = f"{bname}.attentions.{li}"
+                x = _transformer2d(params, lname, x, ctx,
+                                   cfg.attention_head_dim[bi], groups, dtype,
+                                   kv=ckv.get(lname))
             skips.append(x)
         if bi < len(cfg.down_block_types) - 1:
             x = _downsample(params, f"{bname}.downsamplers.0", x, dtype)
@@ -200,7 +252,8 @@ def unet_forward(params: dict, sample: jax.Array, timestep: jax.Array,
     x = _resnet(params, "mid_block.resnets.0", x, temb, groups, dtype)
     if cfg.mid_block_type == "UNetMidBlock2DCrossAttn":
         x = _transformer2d(params, "mid_block.attentions.0", x, ctx,
-                           cfg.attention_head_dim[-1], groups, dtype)
+                           cfg.attention_head_dim[-1], groups, dtype,
+                           kv=ckv.get("mid_block.attentions.0"))
     x = _resnet(params, "mid_block.resnets.1", x, temb, groups, dtype)
 
     # up
@@ -213,8 +266,10 @@ def unet_forward(params: dict, sample: jax.Array, timestep: jax.Array,
             x = _resnet(params, f"{bname}.resnets.{li}", x, temb, groups,
                         dtype)
             if btype == "CrossAttnUpBlock2D":
-                x = _transformer2d(params, f"{bname}.attentions.{li}", x, ctx,
-                                   cfg.attention_head_dim[bi], groups, dtype)
+                lname = f"{bname}.attentions.{li}"
+                x = _transformer2d(params, lname, x, ctx,
+                                   cfg.attention_head_dim[bi], groups, dtype,
+                                   kv=ckv.get(lname))
         if ui < len(cfg.up_block_types) - 1:
             x = _upsample(params, f"{bname}.upsamplers.0", x, dtype)
 
