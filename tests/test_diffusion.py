@@ -189,6 +189,42 @@ def test_unet_forward_shapes_and_spec():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_unet_precomputed_context_kv_exact_and_consumed():
+    """The hoisted cross-attention K/V path (precompute_context_kv →
+    unet_forward(context_kv=...), the denoise-loop LICM fix — RESULTS.md
+    round-4 cross-attention record) is (a) bit-exact vs in-layer
+    projections and (b) actually consumed (garbage K/V changes the output
+    at every cross-attention layer)."""
+    from neural_enhanced_super_resolution_tpu.models.diffusion.unet import (
+        crossattn_layer_names, precompute_context_kv)
+    spec = unet_param_shapes(TINY_UNET)
+    params = random_params(spec, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 7)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 12, 16)), jnp.float32)
+    labels = jnp.zeros((2,), jnp.int32)
+
+    names = crossattn_layer_names(TINY_UNET)
+    assert names == ("down_blocks.1.attentions.0", "mid_block.attentions.0",
+                     "up_blocks.0.attentions.0", "up_blocks.0.attentions.1")
+
+    base = unet_forward(params, x, jnp.int32(10), ctx, labels, TINY_UNET,
+                        "float32")
+    kv = precompute_context_kv(params, ctx, TINY_UNET, "float32")
+    assert set(kv) == set(names)
+    hoisted = unet_forward(params, x, jnp.int32(10), ctx, labels, TINY_UNET,
+                           "float32", context_kv=kv)
+    np.testing.assert_array_equal(np.asarray(hoisted), np.asarray(base))
+
+    for name in names:
+        poisoned = dict(kv)
+        k, v = poisoned[name]
+        poisoned[name] = (k + 1.0, v)
+        out = unet_forward(params, x, jnp.int32(10), ctx, labels, TINY_UNET,
+                           "float32", context_kv=poisoned)
+        assert np.abs(np.asarray(out) - np.asarray(base)).max() > 0
+
+
 def test_vae_decode_shapes():
     spec = vae_param_shapes(TINY_VAE, decoder_only=True)
     params = random_params(spec, jax.random.PRNGKey(1))
