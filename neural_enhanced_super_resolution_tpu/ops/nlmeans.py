@@ -11,9 +11,14 @@ d2 the per-pixel/per-channel mean squared patch distance. (OpenCV's uint8 code
 path approximates this with fixed-point LUTs, so parity is statistical, not
 bit-exact — see tests/test_ops_nlmeans.py for the tolerance.)
 
-TPU-first: a `lax.scan` over the 21x21 search offsets; each step is a shifted
-subtract + separable 7x7 box sum + exp — all VPU-friendly, with the scan keeping
-the unrolled program small. Accumulators stay in f32 in HBM/VMEM; no gathers.
+TPU-first: a `lax.scan` over the 21 search ROWS; each step takes ONE
+dynamic row-slab slice and then 21 STATIC column slices from it, with the
+7x7 box sum as 12 static-slice shift-adds. Formulation chosen by measurement
+(benchmarks/envelope_nlmeans.py, v5e): the round-1..3 form — vmapped
+`dynamic_slice` over traced column offsets (lowers to a batched gather) +
+integral-image cumsum box sums — ran 33.4 ms per 512^2x3 call; static
+slices + shift-add box runs 4.0 ms (8.3x). The colored path additionally
+runs L and (a, b) in ONE joint pass sharing the per-offset slab slices.
 """
 
 from __future__ import annotations
@@ -31,14 +36,44 @@ __all__ = ["nl_means", "nl_means_colored"]
 
 
 def _box_sum_valid(x: jax.Array, k: int) -> jax.Array:
-    """k x k windowed sum, VALID (output H-k+1, W-k+1), via integral image.
+    """k x k windowed sum, VALID (output H-k+1, W-k+1), via shift-adds.
 
-    Two cumsums + four static slices — cheaper than a conv for the repeated
-    per-offset distance sums, and it lowers to pure VPU work.
+    2(k-1) static-slice adds — measured 1.7x faster than the integral-image
+    cumsum form it replaced (envelope_nlmeans.py v1 vs v2): cumsum pays
+    log-depth shift passes over the full array where k=7 needs 12 adds.
     """
-    ii = jnp.pad(x, ((1, 0), (1, 0)))
-    ii = jnp.cumsum(jnp.cumsum(ii, axis=0), axis=1)
-    return (ii[k:, k:] - ii[:-k, k:] - ii[k:, :-k] + ii[:-k, :-k])
+    h, w = x.shape
+    acc = x[: h - k + 1]
+    for i in range(1, k):
+        acc = acc + x[i : h - k + 1 + i]
+    out = acc[:, : w - k + 1]
+    for j in range(1, k):
+        out = out + acc[:, j : w - k + 1 + j]
+    return out
+
+
+def _nl_scan(ext, accum_fn, init, H, W, C, template: int, search: int):
+    """Scan search rows; per row take ONE dynamic slab slice + `search`
+    STATIC column slices, calling accum_fn(carry, shifted) per offset.
+
+    The column offsets MUST be static slices: a vmapped `dynamic_slice`
+    over traced starts lowers to a batched gather (measured 2.4x slower
+    end-to-end, envelope_nlmeans.py v1 vs v3-stable).
+    """
+    tr = template // 2
+    pad = search // 2 + tr
+
+    def row_step(carry, dy):
+        slab = lax.dynamic_slice(ext, (dy, 0, 0),
+                                 (H + 2 * tr, W + 2 * pad, C))
+        for dx in range(search):
+            shifted = lax.slice(slab, (0, dx, 0),
+                                (H + 2 * tr, dx + W + 2 * tr, C))
+            carry = accum_fn(carry, shifted)
+        return carry, None
+
+    carry, _ = lax.scan(row_step, init, jnp.arange(search, dtype=jnp.int32))
+    return carry
 
 
 @functools.partial(jax.jit, static_argnames=("template", "search"))
@@ -57,29 +92,57 @@ def _nl_means_f32(img: jax.Array, h: jax.Array, sigma: jax.Array,
     inv_h2 = 1.0 / (h * h)
     two_sigma2 = 2.0 * sigma * sigma
 
-    def one_offset(dy, dx):
-        shifted = lax.dynamic_slice(ext, (dy, dx, 0),
-                                    (H + 2 * tr, W + 2 * tr, C))
+    def accum(carry, shifted):
+        num, den = carry
         d2 = jnp.sum((center - shifted) ** 2, axis=-1)
         dist = _box_sum_valid(d2, template) / t_area  # (H, W)
         wgt = jnp.exp(-jnp.maximum(dist - two_sigma2, 0.0) * inv_h2)
         s_center = lax.slice(shifted, (tr, tr, 0), (tr + H, tr + W, C))
-        return wgt[:, :, None] * s_center, wgt
-
-    # Scan over search ROWS, vmapping the `search` column offsets inside —
-    # 21 sequential steps of wide parallel work instead of 441 tiny ones
-    # (shorter program, much better VPU occupancy on TPU).
-    dxs = jnp.arange(search, dtype=jnp.int32)
-
-    def row_step(carry, dy):
-        num, den = carry
-        nums, wgts = jax.vmap(lambda dx: one_offset(dy, dx))(dxs)
-        return (num + jnp.sum(nums, axis=0), den + jnp.sum(wgts, axis=0)), None
+        return num + wgt[:, :, None] * s_center, den + wgt
 
     init = (jnp.zeros((H, W, C), jnp.float32), jnp.zeros((H, W), jnp.float32))
-    (num, den), _ = lax.scan(row_step, init,
-                             jnp.arange(search, dtype=jnp.int32))
+    num, den = _nl_scan(ext, accum, init, H, W, C, template, search)
     return num / den[:, :, None]
+
+
+@functools.partial(jax.jit, static_argnames=("template", "search"))
+def _nl_means_lab_joint(lab: jax.Array, h: jax.Array, h_color: jax.Array,
+                        template: int, search: int) -> jax.Array:
+    """One joint pass over (H, W, 3) Lab: L denoised with ``h``, (a, b)
+    jointly with ``h_color`` — numerically identical to two `_nl_means_f32`
+    calls but sharing the per-offset slab slices and box machinery between
+    the two weight fields (~25% less work than two passes)."""
+    H, W, C = lab.shape
+    tr = template // 2
+    sr = search // 2
+    pad = sr + tr
+    ext = jnp.pad(lab, ((pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    center = lax.slice(ext, (sr, sr, 0), (sr + H + 2 * tr, sr + W + 2 * tr, C))
+
+    area_l = float(template * template)
+    area_ab = float(template * template * 2)
+    inv_h2 = 1.0 / (h * h)
+    inv_hc2 = 1.0 / (h_color * h_color)
+
+    def accum(carry, shifted):
+        num_l, den_l, num_ab, den_ab = carry
+        d2c = (center - shifted) ** 2
+        dist_l = _box_sum_valid(d2c[:, :, 0], template) / area_l
+        dist_ab = _box_sum_valid(d2c[:, :, 1] + d2c[:, :, 2],
+                                 template) / area_ab
+        wgt_l = jnp.exp(-dist_l * inv_h2)
+        wgt_ab = jnp.exp(-dist_ab * inv_hc2)
+        s_center = lax.slice(shifted, (tr, tr, 0), (tr + H, tr + W, C))
+        return (num_l + wgt_l * s_center[:, :, 0], den_l + wgt_l,
+                num_ab + wgt_ab[:, :, None] * s_center[:, :, 1:],
+                den_ab + wgt_ab)
+
+    zs = jnp.zeros((H, W), jnp.float32)
+    init = (zs, zs, jnp.zeros((H, W, 2), jnp.float32), zs)
+    num_l, den_l, num_ab, den_ab = _nl_scan(ext, accum, init, H, W, C,
+                                            template, search)
+    return jnp.concatenate([(num_l / den_l)[:, :, None],
+                            num_ab / den_ab[:, :, None]], axis=-1)
 
 
 def nl_means(img, h: float = 3.0, template: int = 7, search: int = 21,
@@ -115,10 +178,7 @@ def nl_means_colored(img, h: float = 3.0, h_color: float = 3.0,
     # the Lab formula what cv2 actually computed, and flip back afterwards.
     work = img[..., ::-1]
     lab = _color.rgb_to_lab(work, srgb=False).astype(jnp.float32)
-    L = _nl_means_f32(lab[:, :, :1], jnp.float32(h), jnp.float32(0.0),
-                      template, search)
-    ab = _nl_means_f32(lab[:, :, 1:], jnp.float32(h_color), jnp.float32(0.0),
-                       template, search)
-    out_lab = jnp.concatenate([L, ab], axis=-1)
+    out_lab = _nl_means_lab_joint(lab, jnp.float32(h), jnp.float32(h_color),
+                                  template, search)
     out_lab = jnp.clip(jnp.round(out_lab), 0, 255).astype(jnp.uint8)
     return _color.lab_to_rgb(out_lab, srgb=False)[..., ::-1]
