@@ -154,6 +154,25 @@ def test_nlmeans_colored_close_to_cv2(rng, test_image):
     assert (diff > 8).mean() < 0.01
 
 
+def test_nlmeans_joint_lab_matches_two_pass(rng):
+    """The joint single-pass Lab formulation (round 4, shares per-offset slab
+    slices between the L and ab weight fields) must match two independent
+    `_nl_means_f32` passes to f32 tolerance — it is a traffic optimization,
+    not a math change."""
+    from neural_enhanced_super_resolution_tpu.ops.nlmeans import (
+        _nl_means_f32, _nl_means_lab_joint)
+    import jax.numpy as jnp
+    lab = rng.uniform(0, 255, (56, 72, 3)).astype(np.float32)
+    joint = np.asarray(_nl_means_lab_joint(
+        jnp.asarray(lab), jnp.float32(5.0), jnp.float32(7.0), 7, 21))
+    L = np.asarray(_nl_means_f32(jnp.asarray(lab[:, :, :1]), jnp.float32(5.0),
+                                 jnp.float32(0.0), 7, 21))
+    ab = np.asarray(_nl_means_f32(jnp.asarray(lab[:, :, 1:]), jnp.float32(7.0),
+                                  jnp.float32(0.0), 7, 21))
+    np.testing.assert_allclose(joint, np.concatenate([L, ab], axis=-1),
+                               atol=1e-3)
+
+
 # ------------------------------------------------------ composite stages ----
 
 def _cv2_preprocess(img, denoise_level=0.5):
