@@ -24,8 +24,9 @@ __all__ = ["conv2d", "linear", "group_norm", "layer_norm", "silu",
            "attention", "timestep_embedding", "nearest_upsample_x2"]
 
 # Profiling-only ablation switches (benchmarks/profile_sd_step.py): each
-# named component ("groupnorm", "selfattn", "crossattn", "crossattn_core",
-# "ff", "cfg") becomes a cheap passthrough so slope-timed step rates
+# named component ("groupnorm", "selfattn", "selfattn_core", "crossattn",
+# "crossattn_core", "ff", "cfg") becomes a cheap passthrough so slope-timed
+# step rates
 # decompose the denoise step (VERDICT round 3 #4b). "crossattn_core" keeps
 # the layer-norm + q/k/v/out projections and ablates only the attention
 # einsums, splitting the crossattn share. Read at TRACE time; unset in

@@ -104,7 +104,10 @@ def _basic_transformer(params, name, x, context, heads, dtype, kv=None):
         q = linear(h, params, f"{name}.attn1.to_q", dtype=dtype)
         k = linear(h, params, f"{name}.attn1.to_k", dtype=dtype)
         v = linear(h, params, f"{name}.attn1.to_v", dtype=dtype)
-        h = attention_auto(q, k, v, heads, dtype=dtype)
+        if "selfattn_core" in SD_ABLATE:  # profiling: ln+projections only
+            h = q + jnp.sum(k) * 0 + jnp.sum(v) * 0
+        else:
+            h = attention_auto(q, k, v, heads, dtype=dtype)
         x = x + linear(h, params, f"{name}.attn1.to_out.0", dtype=dtype)
     if "crossattn" not in SD_ABLATE:
         if "crossattn_ln" in SD_ABLATE:  # profiling: layer-norm only

@@ -46,6 +46,48 @@ def test_flash_attention_cross_lengths(rng):
     assert np.abs(out - ref).max() < 2e-5
 
 
+@pytest.mark.parametrize("s,block", [(256, 128), (512, 512)])
+def test_flash_attention_bshd_matches_bhsd(rng, s, block):
+    """The head-gridded natural-layout kernel is numerically identical to
+    the transposing path (same dots, same online softmax) — only the HBM
+    layout of the operands differs."""
+    from neural_enhanced_super_resolution_tpu.kernels.attention import (
+        _flash_attention_bshd)
+    b, h, d = 2, 4, 64
+    q = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    k = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    v = rng.standard_normal((b, s, h, d)).astype(np.float32)
+    out = np.asarray(_flash_attention_bshd(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        block_q=block, block_k=block, interpret=True))
+    ref = _ref_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                         v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
+    assert np.abs(out - ref).max() < 2e-5
+
+
+def test_attention_auto_bshd_layout_matches_xla(rng, monkeypatch):
+    """attention_auto under NESR_FLASH_LAYOUT=bshd (forced past the TPU
+    gate) agrees with the plain XLA formulation at a production-divisible
+    shape."""
+    import neural_enhanced_super_resolution_tpu.kernels.attention as ka
+    from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
+        attention as xla_attention)
+    b, s, dm, h = 1, 1024, 256, 4
+    q = jnp.asarray(rng.standard_normal((b, s, dm)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, dm)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, dm)), jnp.float32)
+    monkeypatch.setenv("NESR_FLASH_LAYOUT", "bshd")
+    monkeypatch.setattr(jax, "devices",
+                        lambda *a, **kw: jax.devices("cpu"))
+    out4 = ka._flash_attention_bshd(
+        q.reshape(b, s, h, dm // h), k.reshape(b, s, h, dm // h),
+        v.reshape(b, s, h, dm // h), block_q=256, block_k=1024,
+        interpret=True)
+    out = np.asarray(out4.reshape(b, s, dm))
+    ref = np.asarray(xla_attention(q, k, v, h, dtype=jnp.float32))
+    assert np.abs(out - ref).max() < 2e-4
+
+
 def test_attention_auto_dispatches_to_xla_when_masked(rng):
     from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
         attention as xla_attention)
