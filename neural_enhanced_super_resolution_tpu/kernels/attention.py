@@ -23,7 +23,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "attention_auto"]
+__all__ = ["flash_attention", "attention_auto", "fused_self_attention"]
 
 _NEG_INF = -1e30
 
@@ -175,85 +175,6 @@ def _flash_attention_body(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(b, h, sq + pq, d)[:, :, :sq, :]
 
 
-def _flash_kernel_bshd(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                       *, block_k: int, sm_scale: float):
-    """Head-gridded variant of _flash_kernel over NATURAL (B, S, H, d)
-    layout: refs are (1, bq, 1, d) / (1, Skv, 1, d) VMEM blocks — the head
-    axis is a grid dimension resolved by the BlockSpec index maps, so no
-    head-major transpose of the big tensors ever materialises in HBM
-    (the relayout cost that q-major cross-attention measured at +10.5%
-    on the whole UNet step — RESULTS.md round-4 record)."""
-    skv = k_ref.shape[1]
-    num_kv = skv // block_k
-
-    m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-    l_scr[:] = jnp.zeros_like(l_scr)
-    acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    q = q_ref[0, :, 0, :]
-
-    def body(ki, _):
-        k_blk = k_ref[0, pl.ds(ki * block_k, block_k), 0, :]
-        v_blk = v_ref[0, pl.ds(ki * block_k, block_k), 0, :]
-        s = jax.lax.dot_general(
-            q, k_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
-
-        m_prev = m_scr[:, 0]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, None])
-
-        l_new = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
-        acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
-            p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[:, 0] = m_new
-        l_scr[:, 0] = l_new
-        return 0
-
-    lax.fori_loop(0, num_kv, body, 0)
-    o_ref[0, :, 0, :] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(
-        o_ref.dtype)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("block_q", "block_k", "interpret"))
-def _flash_attention_bshd(q, k, v, block_q, block_k, interpret):
-    """(B, Sq, H, d) x (B, Skv, H, d) -> (B, Sq, H, d), no mask, no padding.
-
-    Caller guarantees block_q | Sq and block_k | Skv (attention_auto falls
-    back to the transposing bhsd path otherwise — production self-attention
-    shapes at the UNet's latents are exact multiples)."""
-    b, sq, h, d = q.shape
-    skv = k.shape[1]
-    sm_scale = 1.0 / math.sqrt(d)
-    grid = (b, h, sq // block_q)
-    return pl.pallas_call(
-        functools.partial(_flash_kernel_bshd, block_k=block_k,
-                          sm_scale=sm_scale),
-        out_shape=jax.ShapeDtypeStruct((b, sq, h, d), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, 1, d),
-                               lambda bi, hi, qi: (bi, qi, hi, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        interpret=interpret,
-    )(q, k, v)
-
-
 def attention_auto(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
                    mask: jax.Array | None = None,
                    dtype=jnp.bfloat16,
@@ -284,25 +205,76 @@ def attention_auto(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     # sweep); defaults are the measured optimum at the UNet's shapes.
     bq = int(os.environ.get("NESR_FLASH_BLOCK_Q", 256))
     bk = int(os.environ.get("NESR_FLASH_BLOCK_K", 4096))
-    # Layout A/B (trace-time): "bshd" grids the head axis in the kernel's
-    # BlockSpecs over the NATURAL (B, S, H, d) layout, eliminating the four
-    # head-major HBM relayouts (q/k/v in, out back). Only valid when the
-    # clamped blocks divide the sequence exactly (true at every production
-    # latent size); otherwise fall through to the padding bhsd path.
-    bk_eff = max(128, min(bk, -(-skv // 128) * 128))
-    bq_eff = max(16, min(bq, -(-sq // 16) * 16))
-    if (os.environ.get("NESR_FLASH_LAYOUT", "bhsd") == "bshd"
-            and sq % bq_eff == 0 and skv % bk_eff == 0):
-        interpret = jax.default_backend() != "tpu"
-        out4 = _flash_attention_bshd(
-            q.reshape(b, sq, num_heads, hd).astype(dtype),
-            k.reshape(b, skv, num_heads, hd).astype(dtype),
-            v.reshape(b, skv, num_heads, hd).astype(dtype),
-            block_q=bq_eff, block_k=bk_eff, interpret=interpret)
-        return out4.reshape(b, sq, dm).astype(jnp.float32)
     qh = q.reshape(b, sq, num_heads, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(b, skv, num_heads, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(b, v.shape[1], num_heads, hd).transpose(0, 2, 1, 3)
     out = flash_attention(qh.astype(dtype), kh.astype(dtype),
                           vh.astype(dtype), block_q=bq, block_k=bk)
     return out.transpose(0, 2, 1, 3).reshape(b, sq, dm).astype(jnp.float32)
+
+
+def _fused_self_attention_math(h: jax.Array, params: dict, prefix: str,
+                               num_heads: int, dtype=jnp.bfloat16,
+                               block_q: int = 256,
+                               block_k: int = 4096) -> jax.Array:
+    """q/k/v projections -> flash -> out projection, head split fused.
+
+    The projections write head-major DIRECTLY — einsum('bsc,chd->bhsd') —
+    and the output projection contracts ('bhsd,hdc->bsc'), so the four HBM
+    relayouts the attention_auto path pays per layer (q/k/v transposed into
+    (B, H, S, d) and the output back) become the matmuls' own output/input
+    indexing instead of separate copy passes over the big latent tensors.
+    Dots, bias adds, and the flash kernel itself are unchanged, so numerics
+    match linear()+attention_auto to f32-accumulation rounding
+    (tests/test_kernels.py pins the equivalence)."""
+    b, s, c = h.shape
+    hd = c // num_heads
+    x = h.astype(dtype)
+
+    def project(role):
+        w = params[f"{prefix}.to_{role}.weight"].astype(dtype)
+        y = jnp.einsum("bsc,chd->bhsd", x, w.reshape(c, num_heads, hd),
+                       preferred_element_type=jnp.float32)
+        bias = params.get(f"{prefix}.to_{role}.bias")
+        if bias is not None:
+            y = y + bias.astype(jnp.float32).reshape(1, num_heads, 1, hd)
+        return y.astype(dtype)
+
+    out = flash_attention(project("q"), project("k"), project("v"),
+                          block_q=block_q, block_k=block_k)
+    wo = params[f"{prefix}.to_out.0.weight"].astype(dtype)
+    y = jnp.einsum("bhsd,hdc->bsc", out.astype(dtype),
+                   wo.reshape(num_heads, hd, c),
+                   preferred_element_type=jnp.float32)
+    bias = params.get(f"{prefix}.to_out.0.bias")
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y
+
+
+def fused_self_attention(h: jax.Array, params: dict, prefix: str,
+                         num_heads: int, dtype=jnp.bfloat16,
+                         min_seq_for_flash: int = 1024) -> jax.Array | None:
+    """Whole self-attention block with head-major projections (see
+    _fused_self_attention_math). Returns None when the flash gate fails
+    (short sequence / non-TPU / flash disabled) so the caller falls back to
+    the separate-projection attention_auto path.
+
+    Decision record (RESULTS.md round 4): the alternative — a head-gridded
+    Pallas kernel over the natural (B, S, H, d) layout with (1, bq, 1, d)
+    blocks — cannot lower on TPU at all: Mosaic requires block shapes whose
+    second-to-minor dim is a multiple of 8 or the full array dim, so
+    singleton head blocks are structurally illegal. Fusing the relayout
+    into the projection matmuls needs no new kernel."""
+    import os
+
+    s = h.shape[1]
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    if os.environ.get("NESR_DISABLE_FLASH_ATTENTION") == "1":
+        on_tpu = False
+    if not on_tpu or s < min_seq_for_flash:
+        return None
+    bq = int(os.environ.get("NESR_FLASH_BLOCK_Q", 256))
+    bk = int(os.environ.get("NESR_FLASH_BLOCK_K", 4096))
+    return _fused_self_attention_math(h, params, prefix, num_heads,
+                                      dtype=dtype, block_q=bq, block_k=bk)

@@ -15,6 +15,8 @@ loop compiles to one XLA program.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +25,14 @@ from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
     silu, timestep_embedding)
 
 __all__ = ["UNetConfig", "unet_forward"]
+
+# Self-attention formulation switch (trace-time, like NESR_CROSSATTN):
+# "fused" projects q/k/v straight into head-major and folds the output
+# relayout into the out projection (kernels.attention.fused_self_attention);
+# "proj" is the round-3 separate-projection + attention_auto path.
+# A/B harness: benchmarks/ab_selfattn_fused.py (RESULTS.md round-4
+# self-attention relayout record).
+SELFATTN_FORM = os.environ.get("NESR_SELFATTN", "proj")
 
 
 class UNetConfig:
@@ -101,14 +111,23 @@ def _basic_transformer(params, name, x, context, heads, dtype, kv=None):
         SD_ABLATE, cross_attention)
     if "selfattn" not in SD_ABLATE:
         h = layer_norm(x, params, f"{name}.norm1")
-        q = linear(h, params, f"{name}.attn1.to_q", dtype=dtype)
-        k = linear(h, params, f"{name}.attn1.to_k", dtype=dtype)
-        v = linear(h, params, f"{name}.attn1.to_v", dtype=dtype)
-        if "selfattn_core" in SD_ABLATE:  # profiling: ln+projections only
-            h = q + jnp.sum(k) * 0 + jnp.sum(v) * 0
+        fused = None
+        if SELFATTN_FORM == "fused" and "selfattn_core" not in SD_ABLATE:
+            from neural_enhanced_super_resolution_tpu.kernels.attention import (
+                fused_self_attention)
+            fused = fused_self_attention(h, params, f"{name}.attn1", heads,
+                                         dtype=dtype)
+        if fused is not None:
+            x = x + fused
         else:
-            h = attention_auto(q, k, v, heads, dtype=dtype)
-        x = x + linear(h, params, f"{name}.attn1.to_out.0", dtype=dtype)
+            q = linear(h, params, f"{name}.attn1.to_q", dtype=dtype)
+            k = linear(h, params, f"{name}.attn1.to_k", dtype=dtype)
+            v = linear(h, params, f"{name}.attn1.to_v", dtype=dtype)
+            if "selfattn_core" in SD_ABLATE:  # profiling: ln+projections only
+                h = q + jnp.sum(k) * 0 + jnp.sum(v) * 0
+            else:
+                h = attention_auto(q, k, v, heads, dtype=dtype)
+            x = x + linear(h, params, f"{name}.attn1.to_out.0", dtype=dtype)
     if "crossattn" not in SD_ABLATE:
         if "crossattn_ln" in SD_ABLATE:  # profiling: layer-norm only
             x = x + 0.001 * layer_norm(x, params, f"{name}.norm2")

@@ -46,45 +46,86 @@ def test_flash_attention_cross_lengths(rng):
     assert np.abs(out - ref).max() < 2e-5
 
 
-@pytest.mark.parametrize("s,block", [(256, 128), (512, 512)])
-def test_flash_attention_bshd_matches_bhsd(rng, s, block):
-    """The head-gridded natural-layout kernel is numerically identical to
-    the transposing path (same dots, same online softmax) — only the HBM
-    layout of the operands differs."""
+@pytest.mark.parametrize("bias", [False, True])
+def test_fused_self_attention_matches_separate_path(rng, bias):
+    """The fused-heads self-attention block (projections writing head-major
+    directly, output projection contracting the head axis) is numerically
+    the separate-projection path: same dots in a different index order.
+    CPU run: flash_attention auto-interprets."""
     from neural_enhanced_super_resolution_tpu.kernels.attention import (
-        _flash_attention_bshd)
-    b, h, d = 2, 4, 64
-    q = rng.standard_normal((b, s, h, d)).astype(np.float32)
-    k = rng.standard_normal((b, s, h, d)).astype(np.float32)
-    v = rng.standard_normal((b, s, h, d)).astype(np.float32)
-    out = np.asarray(_flash_attention_bshd(
-        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-        block_q=block, block_k=block, interpret=True))
-    ref = _ref_attention(q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                         v.transpose(0, 2, 1, 3)).transpose(0, 2, 1, 3)
-    assert np.abs(out - ref).max() < 2e-5
-
-
-def test_attention_auto_bshd_layout_matches_xla(rng, monkeypatch):
-    """attention_auto under NESR_FLASH_LAYOUT=bshd (forced past the TPU
-    gate) agrees with the plain XLA formulation at a production-divisible
-    shape."""
-    import neural_enhanced_super_resolution_tpu.kernels.attention as ka
+        _fused_self_attention_math)
     from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
-        attention as xla_attention)
-    b, s, dm, h = 1, 1024, 256, 4
-    q = jnp.asarray(rng.standard_normal((b, s, dm)), jnp.float32)
-    k = jnp.asarray(rng.standard_normal((b, s, dm)), jnp.float32)
-    v = jnp.asarray(rng.standard_normal((b, s, dm)), jnp.float32)
-    monkeypatch.setenv("NESR_FLASH_LAYOUT", "bshd")
-    monkeypatch.setattr(jax, "devices",
-                        lambda *a, **kw: jax.devices("cpu"))
-    out4 = ka._flash_attention_bshd(
-        q.reshape(b, s, h, dm // h), k.reshape(b, s, h, dm // h),
-        v.reshape(b, s, h, dm // h), block_q=256, block_k=1024,
-        interpret=True)
-    out = np.asarray(out4.reshape(b, s, dm))
-    ref = np.asarray(xla_attention(q, k, v, h, dtype=jnp.float32))
+        attention as xla_attention, linear)
+    b, s, c, h = 2, 256, 128, 4
+    params = {}
+    for role in ("q", "k", "v"):
+        params[f"blk.to_{role}.weight"] = jnp.asarray(
+            rng.standard_normal((c, c)) * 0.08, jnp.float32)
+    params["blk.to_out.0.weight"] = jnp.asarray(
+        rng.standard_normal((c, c)) * 0.08, jnp.float32)
+    if bias:
+        for role in ("q", "k", "v"):
+            params[f"blk.to_{role}.bias"] = jnp.asarray(
+                rng.standard_normal((c,)) * 0.1, jnp.float32)
+        params["blk.to_out.0.bias"] = jnp.asarray(
+            rng.standard_normal((c,)) * 0.1, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+
+    out = np.asarray(_fused_self_attention_math(
+        x, params, "blk", h, dtype=jnp.float32, block_q=128, block_k=256))
+
+    q = linear(x, params, "blk.to_q", dtype=jnp.float32)
+    k = linear(x, params, "blk.to_k", dtype=jnp.float32)
+    v = linear(x, params, "blk.to_v", dtype=jnp.float32)
+    core = xla_attention(q, k, v, h, dtype=jnp.float32)
+    ref = np.asarray(linear(core, params, "blk.to_out.0", dtype=jnp.float32))
+    assert np.abs(out - ref).max() < 2e-4
+
+
+def test_basic_transformer_fused_selfattn_matches_proj(rng, monkeypatch):
+    """_basic_transformer under SELFATTN_FORM='fused' (gate forced past the
+    TPU check) equals the separate-projection formulation end to end —
+    residual adds, cross-attention, and feed-forward included — pinning the
+    unet wiring of fused_self_attention (prefix naming, residual placement)."""
+    import neural_enhanced_super_resolution_tpu.models.diffusion.unet as unet
+
+    b, s, c, heads, ctx_dim = 1, 1024, 64, 2, 32
+    params = {}
+    for nrm in ("norm1", "norm2", "norm3"):
+        params[f"blk.{nrm}.weight"] = jnp.ones((c,), jnp.float32)
+        params[f"blk.{nrm}.bias"] = jnp.zeros((c,), jnp.float32)
+    for role in ("q", "k", "v"):
+        params[f"blk.attn1.to_{role}.weight"] = jnp.asarray(
+            rng.standard_normal((c, c)) * 0.08, jnp.float32)
+    params["blk.attn1.to_out.0.weight"] = jnp.asarray(
+        rng.standard_normal((c, c)) * 0.08, jnp.float32)
+    params["blk.attn1.to_out.0.bias"] = jnp.asarray(
+        rng.standard_normal((c,)) * 0.1, jnp.float32)
+    params["blk.attn2.to_q.weight"] = jnp.asarray(
+        rng.standard_normal((c, c)) * 0.08, jnp.float32)
+    for role in ("k", "v"):
+        params[f"blk.attn2.to_{role}.weight"] = jnp.asarray(
+            rng.standard_normal((ctx_dim, c)) * 0.08, jnp.float32)
+    params["blk.attn2.to_out.0.weight"] = jnp.asarray(
+        rng.standard_normal((c, c)) * 0.08, jnp.float32)
+    params["blk.ff.net.0.proj.weight"] = jnp.asarray(
+        rng.standard_normal((c, 4 * c)) * 0.08, jnp.float32)
+    params["blk.ff.net.2.weight"] = jnp.asarray(
+        rng.standard_normal((2 * c, c)) * 0.08, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((b, s, c)), jnp.float32)
+    context = jnp.asarray(rng.standard_normal((b, 77, ctx_dim)), jnp.float32)
+
+    # Force the TPU gate open for BOTH paths (flash auto-interprets on CPU):
+    # the comparison is then purely projection-fused vs separate-projection.
+    fake_tpu = [type("D", (), {"platform": "tpu"})()]
+    monkeypatch.setattr(jax, "devices", lambda *a, **kw: fake_tpu)
+
+    monkeypatch.setattr(unet, "SELFATTN_FORM", "proj")
+    ref = np.asarray(unet._basic_transformer(
+        params, "blk", x, context, heads, jnp.float32))
+    monkeypatch.setattr(unet, "SELFATTN_FORM", "fused")
+    out = np.asarray(unet._basic_transformer(
+        params, "blk", x, context, heads, jnp.float32))
     assert np.abs(out - ref).max() < 2e-4
 
 
