@@ -16,8 +16,9 @@ The formulations are numerically identical (tests/test_kernels.py pins
 them); only the schedule differs, so the in-context UNet-step slope is the
 only meaningful comparison (isolated attention envelopes are unreadable
 over the tunnel — RESULTS.md round-4 cross-attention record). Each variant
-runs in a fresh process because NESR_SELFATTN is read at trace time and
-bench's jit caches would otherwise serve the first-traced program.
+runs in a fresh process because NESR_SELFATTN is read at module IMPORT
+time (unet.py's module-level SELFATTN_FORM) — setting it after the package
+is imported has no effect, hence fresh subprocesses per variant.
 
 Run ON TPU: python benchmarks/ab_selfattn_fused.py
 """

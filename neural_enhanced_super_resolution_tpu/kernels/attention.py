@@ -175,6 +175,32 @@ def _flash_attention_body(q: jax.Array, k: jax.Array, v: jax.Array,
     return out.reshape(b, h, sq + pq, d)[:, :, :sq, :]
 
 
+def _flash_gate(seq_len: int, min_seq_for_flash: int) -> bool:
+    """Single source of truth for when the flash kernel engages (shared by
+    attention_auto and fused_self_attention so the two paths can never
+    silently diverge — ADVICE round 4): TPU backend, sequence at least
+    min_seq_for_flash, and NESR_DISABLE_FLASH_ATTENTION unset. The env
+    escape hatch exists for tensor-parallel runs: the flash kernel is a
+    custom call GSPMD cannot partition over a head-sharded tp axis, while
+    the XLA einsum path shards cleanly (parallel/tensor.py)."""
+    import os
+
+    if os.environ.get("NESR_DISABLE_FLASH_ATTENTION") == "1":
+        return False
+    if not any(d.platform == "tpu" for d in jax.devices()):
+        return False
+    return seq_len >= min_seq_for_flash
+
+
+def _flash_blocks() -> tuple[int, int]:
+    """Block-geometry tuning surface (benchmarks/envelope_unet_batch.py
+    sweep); defaults are the measured v5e optimum at the UNet's shapes."""
+    import os
+
+    return (int(os.environ.get("NESR_FLASH_BLOCK_Q", 256)),
+            int(os.environ.get("NESR_FLASH_BLOCK_K", 4096)))
+
+
 def attention_auto(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
                    mask: jax.Array | None = None,
                    dtype=jnp.bfloat16,
@@ -188,23 +214,12 @@ def attention_auto(q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int,
     from neural_enhanced_super_resolution_tpu.models.diffusion.layers import (
         attention as xla_attention)
 
-    import os
-
     b, sq, dm = q.shape
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    # Escape hatch for tensor-parallel runs: the flash kernel is a custom
-    # call GSPMD cannot partition over a head-sharded tp axis, while the
-    # XLA einsum path shards cleanly (parallel/tensor.py).
-    if os.environ.get("NESR_DISABLE_FLASH_ATTENTION") == "1":
-        on_tpu = False
-    if mask is not None or not on_tpu or sq < min_seq_for_flash:
+    if mask is not None or not _flash_gate(sq, min_seq_for_flash):
         return xla_attention(q, k, v, num_heads, mask=mask, dtype=dtype)
     hd = dm // num_heads
     skv = k.shape[1]
-    # Block-geometry tuning surface (benchmarks/envelope_unet_batch.py
-    # sweep); defaults are the measured optimum at the UNet's shapes.
-    bq = int(os.environ.get("NESR_FLASH_BLOCK_Q", 256))
-    bk = int(os.environ.get("NESR_FLASH_BLOCK_K", 4096))
+    bq, bk = _flash_blocks()
     qh = q.reshape(b, sq, num_heads, hd).transpose(0, 2, 1, 3)
     kh = k.reshape(b, skv, num_heads, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(b, v.shape[1], num_heads, hd).transpose(0, 2, 1, 3)
@@ -266,15 +281,8 @@ def fused_self_attention(h: jax.Array, params: dict, prefix: str,
     second-to-minor dim is a multiple of 8 or the full array dim, so
     singleton head blocks are structurally illegal. Fusing the relayout
     into the projection matmuls needs no new kernel."""
-    import os
-
-    s = h.shape[1]
-    on_tpu = any(d.platform == "tpu" for d in jax.devices())
-    if os.environ.get("NESR_DISABLE_FLASH_ATTENTION") == "1":
-        on_tpu = False
-    if not on_tpu or s < min_seq_for_flash:
+    if not _flash_gate(h.shape[1], min_seq_for_flash):
         return None
-    bq = int(os.environ.get("NESR_FLASH_BLOCK_Q", 256))
-    bk = int(os.environ.get("NESR_FLASH_BLOCK_K", 4096))
+    bq, bk = _flash_blocks()
     return _fused_self_attention_math(h, params, prefix, num_heads,
                                       dtype=dtype, block_q=bq, block_k=bk)

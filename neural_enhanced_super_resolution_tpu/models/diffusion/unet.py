@@ -115,6 +115,11 @@ def _basic_transformer(params, name, x, context, heads, dtype, kv=None):
         if SELFATTN_FORM == "fused" and "selfattn_core" not in SD_ABLATE:
             from neural_enhanced_super_resolution_tpu.kernels.attention import (
                 fused_self_attention)
+            # Returns None where the flash gate fails (short seq / non-TPU /
+            # flash disabled) — intentionally the SAME gate as
+            # attention_auto (kernels.attention._flash_gate), so an
+            # NESR_SELFATTN=fused program is mixed by design: fused at
+            # long-seq layers, separate-projection at short-seq layers.
             fused = fused_self_attention(h, params, f"{name}.attn1", heads,
                                          dtype=dtype)
         if fused is not None:

@@ -111,7 +111,13 @@ def _nl_means_lab_joint(lab: jax.Array, h: jax.Array, h_color: jax.Array,
     """One joint pass over (H, W, 3) Lab: L denoised with ``h``, (a, b)
     jointly with ``h_color`` — numerically identical to two `_nl_means_f32`
     calls but sharing the per-offset slab slices and box machinery between
-    the two weight fields (~25% less work than two passes)."""
+    the two weight fields (~25% less work than two passes).
+
+    sigma=0 is hard-coded: the weight formula omits _nl_means_f32's
+    max(dist - 2*sigma^2, 0) clamp because nl_means_colored (the only
+    caller, mirroring cv2.fastNlMeansDenoisingColored) has no sigma
+    parameter. If sigma support is ever extended to the colored variant,
+    thread it through here to keep the formulas parallel."""
     H, W, C = lab.shape
     tr = template // 2
     sr = search // 2
