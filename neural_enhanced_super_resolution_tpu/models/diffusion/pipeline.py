@@ -73,6 +73,23 @@ class UpscalePipeline:
         self.compute_dtype = compute_dtype
         self.max_noise_level = max_noise_level
         self.device = None  # None = default placement
+        # Optional StageTimer (runtime/profiler.py). When set, __call__ runs
+        # the SPLIT formulation — three jitted programs (CLIP encode /
+        # denoise loop / VAE decode) timed as diffusion/clip, diffusion/
+        # denoise, diffusion/vae — instead of the fused single program.
+        # Same helpers build both programs (_denoise_latents/_decode_latents)
+        # so the outputs are identical (tests/test_diffusion.py::
+        # test_split_stage_path_matches_fused); the split costs one extra
+        # HBM materialisation of the latents plus two dispatches, which is
+        # noise next to the loop. The orchestrator enables it for the
+        # five-config harness's per-stage table (VERDICT round 4 #1).
+        self.timer = None
+        # Optional ("cfg",)-axis 2-device mesh (cfg_shard.cfg_mesh): the
+        # uncond/cond UNet passes run on disjoint chips, one eps all_gather
+        # per step (models/diffusion/cfg_shard.py). Set via the pipeline
+        # config key sd_cfg_shard; equality pinned by
+        # test_cfg_sharded_matches_split.
+        self.cfg_shard_mesh = None
 
     def to_device(self, device) -> "UpscalePipeline":
         """Pin all params to one device (stage-overlap placement).
@@ -163,6 +180,10 @@ class UpscalePipeline:
         if noise_level > self.max_noise_level:
             raise ValueError(f"noise_level {noise_level} > max "
                              f"{self.max_noise_level}")
+        if self.timer is not None or self.cfg_shard_mesh is not None:
+            return self._call_staged(prompt, image, noise_level,
+                                     num_inference_steps, guidance_scale,
+                                     seed)
         embeds = self.encode_prompt(prompt)
         img = jnp.asarray(image).astype(jnp.float32) / 127.5 - 1.0
         timesteps = jnp.asarray(
@@ -175,15 +196,53 @@ class UpscalePipeline:
             self.cfg_split)
         return np.asarray(out[0])
 
+    def _call_staged(self, prompt, image, noise_level, num_inference_steps,
+                     guidance_scale, seed) -> np.ndarray:
+        """__call__ split into separate programs — used when a StageTimer is
+        attached (timed sub-stages) and/or when a cfg-shard mesh is set (the
+        denoise loop runs shard_map'd; the VAE decode stays single-device).
+        Identical math to the fused program: same body helpers, same PRNG
+        key; only the jit boundaries differ."""
+        import contextlib
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("unet_cfg", "vae_cfg", "scheduler", "low_res_scheduler",
-                     "compute_dtype", "cfg_split"))
-def _upscale_jit(unet_params, vae_params, image, embeds, timesteps,
-                 noise_level, guidance_scale, rng_key, unet_cfg: UNetConfig,
-                 vae_cfg: VAEConfig, scheduler, low_res_scheduler,
-                 compute_dtype: str, cfg_split: bool = False):
+        stage = (self.timer.stage if self.timer is not None
+                 else lambda name: contextlib.nullcontext())
+        with stage("diffusion/clip"):
+            embeds = jax.block_until_ready(self.encode_prompt(prompt))
+        img = jnp.asarray(image).astype(jnp.float32) / 127.5 - 1.0
+        timesteps = jnp.asarray(
+            self.scheduler.timesteps(num_inference_steps), jnp.int32)
+        with stage("diffusion/denoise"):
+            if self.cfg_shard_mesh is not None:
+                from neural_enhanced_super_resolution_tpu.models.diffusion \
+                    .cfg_shard import denoise_cfg_sharded
+                latents = jax.block_until_ready(denoise_cfg_sharded(
+                    self.unet_params, img[None], embeds, timesteps,
+                    jnp.int32(noise_level), jnp.float32(guidance_scale),
+                    jax.random.PRNGKey(seed), self.unet_cfg, self.scheduler,
+                    self.low_res_scheduler, self.compute_dtype,
+                    self.cfg_shard_mesh))
+            else:
+                latents = jax.block_until_ready(_sd_denoise_jit(
+                    self.unet_params, img[None], embeds, timesteps,
+                    jnp.int32(noise_level), jnp.float32(guidance_scale),
+                    jax.random.PRNGKey(seed), self.unet_cfg, self.scheduler,
+                    self.low_res_scheduler, self.compute_dtype,
+                    self.cfg_split))
+        with stage("diffusion/vae"):
+            out = jax.block_until_ready(_sd_decode_jit(
+                self.vae_params, latents, self.vae_cfg, self.compute_dtype))
+        return np.asarray(out[0])
+
+
+def _denoise_latents(unet_params, image, embeds, timesteps, noise_level,
+                     guidance_scale, rng_key, unet_cfg: UNetConfig,
+                     scheduler, low_res_scheduler, compute_dtype: str,
+                     cfg_split: bool):
+    """Noising + the full T-step denoise loop -> final latents (f32).
+
+    Shared by the fused program (_upscale_jit) and the staged-timing
+    program (_sd_denoise_jit) so the two paths are the same ops."""
     n, h, w, _ = image.shape
     k_latent, k_img, k_loop = jax.random.split(rng_key, 3)
 
@@ -255,12 +314,50 @@ def _upscale_jit(unet_params, vae_params, image, embeds, timesteps,
             return scheduler.step(eps, t, prev_t, latents, noise)
         return scheduler.step(eps, t, prev_t, latents)
 
-    latents = lax.fori_loop(0, num_steps, body, latents)
+    return lax.fori_loop(0, num_steps, body, latents)
 
+
+def _decode_latents(vae_params, latents, vae_cfg: VAEConfig,
+                    compute_dtype: str):
+    """Final latents (f32) -> RGB uint8 (shared VAE-decode tail)."""
     decoded = vae_decode(vae_params, latents / vae_cfg.scaling_factor,
                          vae_cfg, compute_dtype)
     out = jnp.clip((decoded + 1.0) * 127.5, 0.0, 255.0)
     return jnp.round(out).astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet_cfg", "vae_cfg", "scheduler", "low_res_scheduler",
+                     "compute_dtype", "cfg_split"))
+def _upscale_jit(unet_params, vae_params, image, embeds, timesteps,
+                 noise_level, guidance_scale, rng_key, unet_cfg: UNetConfig,
+                 vae_cfg: VAEConfig, scheduler, low_res_scheduler,
+                 compute_dtype: str, cfg_split: bool = False):
+    latents = _denoise_latents(unet_params, image, embeds, timesteps,
+                               noise_level, guidance_scale, rng_key, unet_cfg,
+                               scheduler, low_res_scheduler, compute_dtype,
+                               cfg_split)
+    return _decode_latents(vae_params, latents, vae_cfg, compute_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("unet_cfg", "scheduler", "low_res_scheduler",
+                     "compute_dtype", "cfg_split"))
+def _sd_denoise_jit(unet_params, image, embeds, timesteps, noise_level,
+                    guidance_scale, rng_key, unet_cfg: UNetConfig, scheduler,
+                    low_res_scheduler, compute_dtype: str, cfg_split: bool):
+    return _denoise_latents(unet_params, image, embeds, timesteps,
+                            noise_level, guidance_scale, rng_key, unet_cfg,
+                            scheduler, low_res_scheduler, compute_dtype,
+                            cfg_split)
+
+
+@functools.partial(jax.jit, static_argnames=("vae_cfg", "compute_dtype"))
+def _sd_decode_jit(vae_params, latents, vae_cfg: VAEConfig,
+                   compute_dtype: str):
+    return _decode_latents(vae_params, latents, vae_cfg, compute_dtype)
 
 
 @functools.partial(

@@ -364,6 +364,17 @@ class SuperResolutionPipeline:
                     # remainder so it runs concurrently with the ESRGAN
                     # tile batch on the DP mesh.
                     self.models["diffusion"].to_device(diff_dev)
+                if cfg.get("sd_cfg_shard") and jax.device_count() >= 2:
+                    # Split-CFG over two chips (cfg_shard.py): take the LAST
+                    # two devices — with stage_overlap's split mesh the tail
+                    # of the device list is the diffusion remainder, so this
+                    # composes with tile-DP on the head of the list.
+                    from neural_enhanced_super_resolution_tpu.models \
+                        .diffusion.cfg_shard import cfg_mesh
+                    self.models["diffusion"].cfg_shard_mesh = cfg_mesh(
+                        jax.devices()[-2:])
+                    logger.info("Split-CFG sharded over %s",
+                                jax.devices()[-2:])
                 logger.info("Stable Diffusion upscaler loaded successfully")
             except Exception as exc:
                 logger.error("Error loading Stable Diffusion upscaler: %s", exc)
@@ -714,6 +725,27 @@ class SuperResolutionPipeline:
         try:
             if "diffusion" not in self.models:
                 return None
+            # Deterministic input-size guard (runtime/config.py
+            # diffusion_max_megapixels): the TPU analog of the reference's
+            # OOM-skip — its CUDA/MPS targets fail the branch above ~512^2
+            # inputs through the exception ladder (nesr.py:1028-1031), while
+            # the flash-attention kernel here would instead run O(tokens^2)
+            # attention for minutes-to-hours on the 4x-grown iteration-2
+            # canvas. Host-side dispatch, logged, overridable (None = no cap).
+            cap = self.config.get("diffusion_max_megapixels")
+            h, w = int(image.shape[0]), int(image.shape[1])
+            if cap and (h * w) / 1e6 > float(cap):
+                logger.info(
+                    "Skipping diffusion for %.2f MP input (> %.2f MP cap; "
+                    "set diffusion_max_megapixels=None to force)",
+                    (h * w) / 1e6, float(cap))
+                return None
+            # Sub-stage timing (diffusion/clip|denoise|vae rows in the stage
+            # table) for the five-config harness; fused single-program path
+            # otherwise. NESR_SD_STAGE_DETAIL=1 or config sd_stage_detail.
+            detail = (os.environ.get("NESR_SD_STAGE_DETAIL") == "1"
+                      or self.config.get("sd_stage_detail"))
+            self.models["diffusion"].timer = self.timer if detail else None
             steps = self.config.get("num_inference_steps")
             if steps is None:
                 # Reference tiers steps by device capability 10/15/20

@@ -78,6 +78,11 @@ def default_config() -> dict[str, Any]:
                 # the hot executable's deserialize/upload overlaps the
                 # host-side preprocess of the first iteration.
                 "prewarm": True,
+                # Deterministic analog of the reference's diffusion OOM-skip
+                # (see the diffusion_max_megapixels comment below): just
+                # above 512x512 input, the published x4-upscaler's intended
+                # scale. Set None to run diffusion at any size.
+                "diffusion_max_megapixels": 0.27,
             },
             "cpu": {
                 "max_megapixels": 2,       # reference cpu threshold
@@ -140,6 +145,27 @@ def default_config() -> dict[str, Any]:
         # None = always full-res (reference semantics). See
         # ops/enhance.denoise_stage for the residual-transfer scheme.
         "denoise_max_megapixels": None,
+        # Input-size cap (MP) for the diffusion branch. The reference has no
+        # explicit cap: on its CUDA/MPS targets the x4 upscaler's
+        # full-latent-resolution attention OOMs above roughly 512^2 inputs
+        # and the branch is skipped via the exception ladder
+        # (nesr.py:1028-1031 "Diffusion-based upscaling failed"). On TPU the
+        # flash-attention kernel removes the OOM, so an uncapped iteration-2
+        # input (the canvas grows 4x per iteration once the diffusion branch
+        # joins the ensemble) would instead run O(tokens^2) attention for
+        # minutes-to-hours. This key makes the skip deterministic and logged
+        # instead of OOM-driven; None = no cap (reference semantics). The
+        # TPU overlay sets 0.27 (just above 512x512 = 0.262 MP, the
+        # published checkpoint's intended input scale). Measured growth
+        # curve: benchmarks/envelope_sd_latent_growth.py.
+        "diffusion_max_megapixels": None,
+        # Split the diffusion call into three timed programs (CLIP encode /
+        # denoise loop / VAE decode -> diffusion/clip|denoise|vae stage rows)
+        # instead of the fused single program. Identical outputs (shared
+        # body helpers, equality-tested); costs one extra latents
+        # materialisation + two dispatches. NESR_SD_STAGE_DETAIL=1 also
+        # enables it. Used by benchmarks/run_all.py's per-stage table.
+        "sd_stage_detail": False,
         "num_inference_steps": None,  # None -> per-device default (10/20)
         # Classifier-free guidance as two batch-n UNet passes instead of
         # one batch-2n pass. None -> on (NESR_SD_CFG_SPLIT=0 disables).
@@ -147,6 +173,15 @@ def default_config() -> dict[str, Any]:
         # on v5e at 128^2 latents, where the batched step is super-linear
         # in batch (benchmarks/envelope_unet_batch.py).
         "sd_cfg_split": None,
+        # Shard the two split-CFG UNet passes over TWO devices (a ("cfg",)
+        # mesh, models/diffusion/cfg_shard.py): uncond on chip 0, cond on
+        # chip 1, one small eps all_gather per step. Engages only when >=2
+        # devices are visible; equality with single-device split-CFG pinned
+        # by test_cfg_sharded_matches_split; the CFG-doubling share it
+        # attacks is 0.39 of the UNet step (RESULTS.md round-4
+        # decomposition). Off by default pending multi-chip hardware to
+        # measure the win on.
+        "sd_cfg_shard": False,
     }
 
 

@@ -336,6 +336,79 @@ def test_cfg_split_matches_batched(tiny_snapshot):
     assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
 
 
+def test_split_stage_path_matches_fused(tiny_snapshot):
+    """With a StageTimer attached, __call__ runs three jitted programs
+    (CLIP encode / denoise loop / VAE decode) instead of the fused single
+    program; both paths share _denoise_latents/_decode_latents and the same
+    PRNG key, so the pixels must be identical and the timer must carry the
+    three diffusion sub-stage rows (the five-config harness's per-stage
+    table, VERDICT round 4 #1)."""
+    from neural_enhanced_super_resolution_tpu.runtime.profiler import (
+        StageTimer)
+
+    pipe = load_upscale_pipeline(tiny_snapshot, compute_dtype="float32")
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    kw = dict(prompt="a photo", image=img, noise_level=20,
+              num_inference_steps=3, guidance_scale=7.5, seed=0)
+    fused = pipe(**kw)
+    pipe.timer = StageTimer()
+    staged = pipe(**kw)
+    np.testing.assert_array_equal(fused, staged)
+    report = pipe.timer.report()
+    assert {"diffusion/clip", "diffusion/denoise",
+            "diffusion/vae"} <= set(report)
+    assert all(v > 0 for v in report.values())
+
+
+def test_cfg_sharded_matches_split(tiny_snapshot):
+    """Split-CFG sharded over a 2-device ("cfg",) mesh (uncond on device 0,
+    cond on device 1, one eps all_gather per step — cfg_shard.py) computes
+    the same per-sample math as single-device split-CFG; same tolerance as
+    test_cfg_split_matches_batched (VERDICT round 4 #3)."""
+    import jax as _jax
+
+    from neural_enhanced_super_resolution_tpu.models.diffusion.cfg_shard import (
+        cfg_mesh)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    kw = dict(prompt="a photo", image=img, noise_level=20,
+              num_inference_steps=3, guidance_scale=7.5, seed=0)
+
+    pipe = load_upscale_pipeline(tiny_snapshot, compute_dtype="float32",
+                                 cfg_split=True)
+    single = pipe(**kw)
+    pipe.cfg_shard_mesh = cfg_mesh(_jax.devices()[:2])
+    sharded = pipe(**kw)
+    diff = np.abs(sharded.astype(np.int16) - single.astype(np.int16))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
+
+
+def test_cfg_sharded_with_ddpm_scheduler(tiny_snapshot):
+    """The sharded denoise must also carry the DDPM per-step noise path
+    (step_noises replicated, noise gated by t>0) identically."""
+    import jax as _jax
+
+    from neural_enhanced_super_resolution_tpu.models.diffusion.cfg_shard import (
+        cfg_mesh)
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    kw = dict(prompt="a photo", image=img, noise_level=20,
+              num_inference_steps=2, guidance_scale=7.5, seed=1)
+    pipe = load_upscale_pipeline(tiny_snapshot, compute_dtype="float32",
+                                 cfg_split=True)
+    pipe.scheduler = DDPMScheduler(num_train_timesteps=1000,
+                                   beta_start=0.0001, beta_end=0.02,
+                                   beta_schedule="scaled_linear")
+    single = pipe(**kw)
+    pipe.cfg_shard_mesh = cfg_mesh(_jax.devices()[:2])
+    sharded = pipe(**kw)
+    diff = np.abs(sharded.astype(np.int16) - single.astype(np.int16))
+    assert diff.max() <= 1, f"max uint8 diff {diff.max()}"
+
+
 def test_pipeline_noise_level_guard(tiny_snapshot):
     pipe = load_upscale_pipeline(tiny_snapshot, compute_dtype="float32")
     with pytest.raises(ValueError):

@@ -500,6 +500,37 @@ def test_diffusion_step_tiers():
         assert steps == want
 
 
+def test_diffusion_max_megapixels_skip():
+    """Inputs above diffusion_max_megapixels skip the branch (the logged
+    deterministic analog of the reference's OOM-skip, nesr.py:1028-1031);
+    inputs at or below the cap run it. None disables the cap."""
+    from neural_enhanced_super_resolution_tpu import SuperResolutionPipeline
+
+    calls = []
+
+    class FakeDiffusion:
+        timer = None
+
+        def __call__(self, prompt, image, **kw):
+            calls.append(image.shape[:2])
+            h, w = image.shape[:2]
+            return np.zeros((h * 4, w * 4, 3), np.uint8)
+
+    pipe = SuperResolutionPipeline(config={
+        "use_esrgan": False, "use_diffusion": True,
+        "segment_enhancement": False,
+        "diffusion_max_megapixels": 0.002})  # 2000 px
+    pipe.models["diffusion"] = FakeDiffusion()
+    small = np.zeros((40, 40, 3), np.uint8)   # 1600 px <= cap
+    big = np.zeros((64, 64, 3), np.uint8)     # 4096 px  > cap
+    assert pipe._apply_diffusion(small, "p") is not None
+    assert pipe._apply_diffusion(big, "p") is None
+    assert calls == [(40, 40)]
+    pipe.config["diffusion_max_megapixels"] = None  # reference semantics
+    assert pipe._apply_diffusion(big, "p") is not None
+    assert calls == [(40, 40), (64, 64)]
+
+
 def test_streamed_final_matches_standard_chain(tmp_path, tiny_ckpt,
                                                test_image):
     """The streamed final iteration (ESRGAN+sharpen fused per tile, output
