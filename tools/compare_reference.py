@@ -385,7 +385,10 @@ def check_diffusion(args) -> int:
     return 0 if ok else 1
 
 
-def main() -> int:
+def build_parser() -> argparse.ArgumentParser:
+    """CLI surface (exposed for the runbook smoke test: the docs'
+    command sequence must keep parsing — docs/usage_guide.md
+    'Real-weights parity runbook')."""
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     mode = ap.add_mutually_exclusive_group(required=True)
     mode.add_argument("--record", metavar="NPZ",
@@ -411,6 +414,11 @@ def main() -> int:
                     help="diffusion: DDIM steps to record")
     ap.add_argument("--prompt", default="a high resolution, detailed "
                     "photograph")
+    return ap
+
+
+def main() -> int:
+    ap = build_parser()
     args = ap.parse_args()
     if args.record and not args.images:
         ap.error("--record requires --images")
