@@ -180,9 +180,17 @@ def test_sharded_failure_degrades_to_single_device(tmp_path, tiny_ckpt,
 def test_strip_sharding_through_product(tmp_path, tiny_ckpt, test_image):
     """VERDICT round 3 #6: shard_strategy="strips" routes enhance_array's
     upscale through process_strips_sharded (SP/CP with ICI ppermute halos)
-    and agrees with the tile-DP path. Strips and tiles truncate conv context
-    differently at their respective seams, so agreement is PSNR-level, with
-    identical geometry."""
+    and agrees with the tile-DP path.
+
+    Why a 30 dB floor and not exactness: at this geometry the model's
+    receptive field (~35 input px for the 2-block net) exceeds the 8-px
+    halo, so the TILE path truncates real context at every 48-px column
+    seam while strips keep full-width context — the paths legitimately
+    differ near every seam (measured up to ~100 uint8 levels with random
+    weights) and nothing tighter than a global floor holds between them.
+    The sharp strips contract is pinned separately by
+    test_strip_sharding_interior_exact_vs_whole below: at halo >= RF the
+    strip interior is BIT-EXACT against the untiled whole-image forward."""
     import jax
     assert jax.device_count() >= 8
     img = test_image[:128, :128]
@@ -196,6 +204,41 @@ def test_strip_sharding_through_product(tmp_path, tiny_ckpt, test_image):
                              **kw).enhance_array(img)
     assert out_strips.shape == out_tiles.shape
     assert float(psnr(out_strips, out_tiles)) > 30.0
+
+
+def test_strip_sharding_interior_exact_vs_whole(tmp_path, tiny_ckpt,
+                                                test_image):
+    """VERDICT round 4 #7: the strips product path, at halo >= receptive
+    field, must be BIT-EXACT against the untiled whole-image product run
+    everywhere except the top/bottom border band (where strips reflect the
+    image edge while the un-tiled conv zero-pads — a border-policy
+    difference, not a stitching error). A ppermute off-by-one or halo-crop
+    bug corrupts interior seam rows and fails the exact assertion; the
+    PSNR-level strips-vs-tiles test above cannot see that class of bug.
+
+    Geometry: 320x128 input over the 8-device mesh = 40-row strips,
+    halo 36 >= the 2-block net's ~35 px receptive field (40 > halo+1, so
+    the exchange is legal); upscale_factor=4.0 keeps the x4 model output
+    un-resized so rounding can't smear the comparison; denoise/contrast
+    off so preprocess is identity for both runs."""
+    img = np.asarray(np.tile(test_image, (2, 1, 1)))[:320, :128]
+    kw = dict(adaptive_sharpening=False, upscale_factor=4.0,
+              denoise_level=0, contrast_enhancement=False)
+    whole = _mk_pipeline(tmp_path, tiny_ckpt, enable_tiling=False,
+                         data_parallel="off", **kw).enhance_array(img)
+    pipe = _mk_pipeline(tmp_path, tiny_ckpt, shard_strategy="strips",
+                        enable_tiling=True, max_megapixels=0.001,
+                        max_tile_size=64, tile_halo=36,
+                        data_parallel="auto", **kw)
+    strips = pipe.enhance_array(img)
+    assert pipe._parallel_layout()["mesh"] is not None
+    assert strips.shape == whole.shape == (1280, 512, 3)
+    border = 4 * 40  # 40 input rows * scale; measured band is ~32 rows
+    np.testing.assert_array_equal(strips[border:-border],
+                                  whole[border:-border])
+    # the border band itself is bounded (reflect-vs-zero-pad divergence
+    # decays within the receptive field; a stitch bug would exceed this)
+    assert float(psnr(strips, whole)) > 30.0
 
 
 def test_strip_sharding_too_thin_uses_tiles(tmp_path, tiny_ckpt, test_image):
