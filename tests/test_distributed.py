@@ -155,3 +155,25 @@ def test_two_process_dcn_end_to_end(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
         assert f"WORKER_OK {pid}" in out
+
+
+def test_weak_scaling_overhead_bounded():
+    """VERDICT round 4 #8: weak-scale the sharded modes over the virtual
+    CPU mesh and bound the per-device overhead factor. The host serializes
+    virtual devices, so ideal weak scaling is t(n) = n * t(1); overhead
+    t(n)/(n*t(1)) >> 1 would mean a serialization bug (e.g. every device
+    processing the full batch gives ~n). Full curve + reading rule:
+    benchmarks/scaling_cpu_mesh.py (run standalone for the RESULTS.md
+    table)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "benchmarks"))
+    import scaling_cpu_mesh
+
+    for mode in ("tiles", "strips"):
+        t1 = scaling_cpu_mesh.measure(mode, 1, reps=2)
+        t8 = scaling_cpu_mesh.measure(mode, 8, reps=2)
+        overhead = t8 / (8 * t1)
+        assert overhead < 2.5, (mode, t1, t8, overhead)
