@@ -73,6 +73,49 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     o_ref[0] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
 
 
+def _flash_kernel_kvgrid(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                         *, sm_scale: float):
+    """One (batch*head, q_block, kv_block) program: the kv axis is a GRID
+    dimension instead of an in-VMEM fori_loop, so only ONE (block_k, d) K/V
+    tile is VMEM-resident at a time. Used when the whole-KV footprint would
+    blow the scoped-VMEM budget (the VAE mid-block attention: a single head
+    of d=512 over S=25600+ tokens is ~30 MB of KV — the round-4 "VAE decode
+    fails at 160px latents" hole). Online-softmax state (m, l, acc) carries
+    across kv grid steps in scratch; the q/head grid dims are declared
+    parallel, the kv dim arbitrary (sequential), per the standard TPU flash
+    recipe."""
+    kk = pl.program_id(2)
+    nkv = pl.num_programs(2)
+
+    @pl.when(kk == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    k_blk = k_ref[0]
+    v_blk = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale  # (bq, block_k)
+
+    m_prev = m_scr[:, 0]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new[:, None])
+
+    l_scr[:, 0] = l_scr[:, 0] * alpha + jnp.sum(p, axis=1)
+    acc_scr[:] = acc_scr[:] * alpha[:, None] + jax.lax.dot_general(
+        p.astype(v_blk.dtype), v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:, 0] = m_new
+
+    @pl.when(kk == nkv - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:, 0][:, None]).astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block_q", "block_k", "interpret"))
 def _flash_attention_impl(q, k, v, block_q, block_k, interpret):
@@ -149,29 +192,67 @@ def _flash_attention_body(q: jax.Array, k: jax.Array, v: jax.Array,
     kp = kp.reshape(bh, skv + pk, dk)
     vp = vp.reshape(bh, skv + pk, d)
 
-    grid = (bh, (sq + pq) // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k,
-                          sm_scale=sm_scale),
-        out_shape=jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_q, dk), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv + pk, dk), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, skv + pk, d), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qp, kp, vp)
+    # Two lowerings, one math. Whole-KV-in-VMEM (the measured v5e optimum at
+    # the UNet's shapes: one K/V DMA per q block, fewest rescale passes) when
+    # the padded K+V footprint fits the scoped-VMEM budget; otherwise the kv
+    # axis becomes a grid dimension streaming (block_k, d) tiles (the VAE
+    # mid-block's single-head d=512 attention over the full latent grid —
+    # ~30 MB of KV at 160px latents — needs this or fails to compile).
+    import os
+
+    kv_mb = (skv + pk) * (dk + d) * qp.dtype.itemsize / (1 << 20)
+    budget_mb = float(os.environ.get("NESR_FLASH_KV_VMEM_MB", 8))
+
+    if kv_mb <= budget_mb:
+        grid = (bh, (sq + pq) // block_q)
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel, block_k=block_k,
+                              sm_scale=sm_scale),
+            out_shape=jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, dk), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, skv + pk, dk), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, skv + pk, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qp, kp, vp)
+    else:
+        grid = (bh, (sq + pq) // block_q, (skv + pk) // block_k)
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_kvgrid, sm_scale=sm_scale),
+            out_shape=jax.ShapeDtypeStruct((bh, sq + pq, d), q.dtype),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, dk), lambda i, j, kk: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, dk), lambda i, j, kk: (i, kk, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_k, d), lambda i, j, kk: (i, kk, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d),
+                                   lambda i, j, kk: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary")),
+            interpret=interpret,
+        )(qp, kp, vp)
     return out.reshape(b, h, sq + pq, d)[:, :, :sq, :]
 
 

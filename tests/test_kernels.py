@@ -46,6 +46,40 @@ def test_flash_attention_cross_lengths(rng):
     assert np.abs(out - ref).max() < 2e-5
 
 
+@pytest.mark.parametrize("s,block_k", [(320, 64), (300, 64)])
+def test_flash_attention_kvgrid_matches_reference(rng, s, block_k,
+                                                  monkeypatch):
+    """KV-gridded lowering (KV footprint over the scoped-VMEM budget): the
+    VAE mid-block's shape class — ONE head, d=512, S = the whole latent
+    grid. s=300 exercises the padded-keys mask inside the gridded path.
+    Unique shapes vs the other flash tests: the budget env is read at trace
+    time, so a shape reused from a whole-KV test would hit that jit cache
+    and never lower the gridded program."""
+    monkeypatch.setenv("NESR_FLASH_KV_VMEM_MB", "0.5")
+    b, h, d = 1, 1, 512
+    q = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, s, d)).astype(np.float32)
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), block_q=128,
+                                     block_k=block_k))
+    ref = _ref_attention(q, k, v)
+    assert np.abs(out - ref).max() < 2e-5
+
+
+def test_flash_attention_kvgrid_cross_lengths(rng, monkeypatch):
+    monkeypatch.setenv("NESR_FLASH_KV_VMEM_MB", "0.25")
+    b, h, d = 2, 1, 256
+    q = rng.standard_normal((b, h, 200, d)).astype(np.float32)
+    k = rng.standard_normal((b, h, 330, d)).astype(np.float32)
+    v = rng.standard_normal((b, h, 330, d)).astype(np.float32)
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), block_q=64,
+                                     block_k=128))
+    ref = _ref_attention(q, k, v)
+    assert np.abs(out - ref).max() < 2e-5
+
+
 @pytest.mark.parametrize("bias", [False, True])
 def test_fused_self_attention_matches_separate_path(rng, bias):
     """The fused-heads self-attention block (projections writing head-major
