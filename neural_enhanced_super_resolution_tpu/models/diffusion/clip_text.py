@@ -10,6 +10,8 @@ converted to flat JAX params (convert.py). Tokenization uses
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -53,10 +55,17 @@ def _act(x, kind):
     return jax.nn.gelu(x, approximate=False)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "compute_dtype"))
 def clip_text_forward(params: dict, input_ids: jax.Array,
                       cfg: CLIPTextConfig,
                       compute_dtype: str = "bfloat16") -> jax.Array:
-    """input_ids (N, S) int32 -> last hidden state (N, S, hidden)."""
+    """input_ids (N, S) int32 -> last hidden state (N, S, hidden).
+
+    Jitted: eager execution dispatched the 12-layer tower op by op, which
+    over a remote-device tunnel costs ~30 s per process (measured in the
+    round-5 config-5 stage table as a diffusion/clip row the size of the
+    whole denoise loop). One jit program caches persistently like every
+    other model forward."""
     dtype = jnp.dtype(compute_dtype)
     n, s = input_ids.shape
     tok = params["text_model.embeddings.token_embedding.weight"][input_ids]
