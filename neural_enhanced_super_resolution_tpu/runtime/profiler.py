@@ -33,17 +33,24 @@ class StageTimer:
         attribution append the stage's output array to ``result_ref``; it is
         blocked on before the clock stops."""
         t0 = time.perf_counter()
-        with jax.profiler.TraceAnnotation(f"nesr/{name}"):
-            yield
-            if result_ref:
-                try:
-                    jax.block_until_ready(result_ref[-1])
-                except Exception:  # non-array results time dispatch only
-                    pass
-        dt = time.perf_counter() - t0
-        self.totals[name] += dt
-        self.counts[name] += 1
-        logger.debug("stage %s: %.3fs", name, dt)
+        try:
+            with jax.profiler.TraceAnnotation(f"nesr/{name}"):
+                yield
+                if result_ref:
+                    try:
+                        jax.block_until_ready(result_ref[-1])
+                    except Exception:  # non-array results time dispatch only
+                        pass
+        finally:
+            # Record even when the stage raises: a failing stage that spent
+            # a minute compiling must show up in the table, not vanish (the
+            # round-4 config-5 artifact lost its diffusion/vae row exactly
+            # this way — the VAE compile failure was swallowed upstream by
+            # the pipeline's graceful-degradation ladder).
+            dt = time.perf_counter() - t0
+            self.totals[name] += dt
+            self.counts[name] += 1
+            logger.debug("stage %s: %.3fs", name, dt)
 
     def report(self) -> dict[str, float]:
         return dict(self.totals)
