@@ -242,7 +242,10 @@ def config_5_full_pipeline(iterations=3):
 
         t0 = time.perf_counter()
         pre = subprocess.run(
-            [sys.executable, os.path.join(root, "tools", "precompile.py")],
+            [sys.executable, os.path.join(root, "tools", "precompile.py"),
+             # warm the diffusion programs the inner config actually runs:
+             # staged (sd_stage_detail) at the fixture's 160x160 input
+             "--diffusion", "--staged", "--image-size", "160"],
             capture_output=True, text=True, env=env, timeout=1800)
         precompile_s = time.perf_counter() - t0
         if pre.returncode != 0:
@@ -263,6 +266,8 @@ def config_5_full_pipeline(iterations=3):
             "precompile_s": round(precompile_s, 1),
             "cold_after_precompile_s": runs["cold"]["seconds"],
             "warm_process_s": runs["warm"]["seconds"],
+            "resident_s": runs["warm"].get("resident_s"),
+            "resident_stages": runs["warm"].get("resident_stages", {}),
             "iterations": runs["warm"]["iterations"],
             "use_diffusion": runs["warm"].get("use_diffusion"),
             "segment_enhancement": runs["warm"].get("segment_enhancement"),
@@ -320,11 +325,26 @@ def config_5_inner(iterations=3):
     seconds = time.perf_counter() - t0
     stages = {k: round(v, 2) for k, v in sorted(
         pipe.timer.report().items(), key=lambda kv: -kv[1])}
+    # Steady-state ("resident") request: same pipeline object, all
+    # executables already built and cached in-process — the marginal cost
+    # of one request in a long-lived serving process. The first-call
+    # number above additionally pays per-process compile-cache
+    # deserialization, which the stage table attributes to whichever
+    # stage first runs each program.
+    from neural_enhanced_super_resolution_tpu.runtime.profiler import (
+        StageTimer)
+    pipe.timer = StageTimer()
+    t0 = time.perf_counter()
+    out = pipe.enhance_array(img, iterations=iterations)
+    resident_s = time.perf_counter() - t0
+    resident_stages = {k: round(v, 2) for k, v in sorted(
+        pipe.timer.report().items(), key=lambda kv: -kv[1])}
     return {"config": "full_pipeline_3iter", "seconds": round(seconds, 2),
+            "resident_s": round(resident_s, 2),
             "iterations": iterations, "use_diffusion": True,
             "segment_enhancement": True,
             "output_mp": round(out.shape[0] * out.shape[1] / 1e6, 2),
-            "stages": stages,
+            "stages": stages, "resident_stages": resident_stages,
             "weights": "synthetic"}
 
 

@@ -38,6 +38,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--diffusion", action="store_true",
                     help="also warm the SD x4 denoise loop (slow compile)")
+    ap.add_argument("--image-size", type=int, default=128,
+                    help="input HxW for the diffusion warm (the latent grid "
+                         "matches the input for the x4 upscaler)")
+    ap.add_argument("--staged", action="store_true",
+                    help="warm the STAGED diffusion programs (separate "
+                         "clip/denoise/vae jits — what runs under a "
+                         "StageTimer or a cfg-shard mesh) instead of the "
+                         "fused single program")
     ap.add_argument("--tile-sizes", type=int, nargs="*", default=[256])
     # default matches the TPU production overlay (runtime/config.py round 4)
     ap.add_argument("--halo", type=int, default=6)
@@ -104,10 +112,20 @@ def main() -> int:
                           scale=0.02), vcfg,
             random_params(clip_param_shapes(tcfg), key, scale=0.02), tcfg,
             DDIMScheduler(), DDPMScheduler())
-        img = rng.integers(0, 256, (128, 128, 3), dtype=np.uint8)
+        if args.staged:
+            # attach a timer so __call__ takes the staged path and warms
+            # the separate clip/denoise/vae executables (the programs a
+            # sd_stage_detail serving config actually runs)
+            from neural_enhanced_super_resolution_tpu.runtime.profiler \
+                import StageTimer
+            pipe.timer = StageTimer()
+        s = args.image_size
+        img = rng.integers(0, 256, (s, s, 3), dtype=np.uint8)
         t0 = time.perf_counter()
         pipe("a photo", img, num_inference_steps=20)
-        print(f"warmed sd_x4 denoise loop: {time.perf_counter() - t0:.1f}s")
+        label = "staged" if args.staged else "fused"
+        print(f"warmed sd_x4 {label} pipeline at {s}x{s}: "
+              f"{time.perf_counter() - t0:.1f}s")
     return 0
 
 
