@@ -65,8 +65,15 @@ def group_norm(x: jax.Array, params: dict, name: str, num_groups: int = 32,
                eps: float = 1e-5) -> jax.Array:
     """GroupNorm over the channel (last) axis of NHWC."""
     if "groupnorm" in SD_ABLATE:  # profiling ablation: scale/shift only
-        return x.astype(jnp.float32) * params[f"{name}.weight"] + \
+        # The barrier keeps the ablated program's fusion boundaries where
+        # the real GroupNorm's reductions put them: without it XLA re-fuses
+        # the bare scale/shift into neighbouring producers — including into
+        # the flash-attention kernel's operands, which blows its scoped-VMEM
+        # budget at 128^2 latents (the round-4 "ablation fails to compile"
+        # hole, RESULTS.md). Measured share = reductions only, as intended.
+        y = x.astype(jnp.float32) * params[f"{name}.weight"] + \
             params[f"{name}.bias"]
+        return lax.optimization_barrier(y)
     n, h, w, c = x.shape
     x32 = x.astype(jnp.float32).reshape(n, h, w, num_groups, c // num_groups)
     mean = jnp.mean(x32, axis=(1, 2, 4), keepdims=True)
