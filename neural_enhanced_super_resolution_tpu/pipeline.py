@@ -795,7 +795,17 @@ class SuperResolutionPipeline:
         if not (cfg["use_esrgan"] and "esrgan" in self.models):
             return False
         if cfg["use_diffusion"] and "diffusion" in self.models:
-            return False
+            # The veto only matters when the diffusion branch would actually
+            # run THIS iteration: above diffusion_max_megapixels the branch
+            # is a logged skip (_apply_diffusion) and ESRGAN is the sole
+            # upscaler, so the fused streamed tail applies. On the default
+            # TPU overlay (cap 0.27 MP) every iteration after the first is
+            # capped out — the full-pipeline config reaches the streamed
+            # final exactly like the no-diffusion config does.
+            cap = cfg.get("diffusion_max_megapixels")
+            h0, w0 = int(image.shape[0]), int(image.shape[1])
+            if not (cap and (h0 * w0) / 1e6 > float(cap)):
+                return False
         if cfg.get("use_swinir") and "swinir" in self.models:
             return False
         if cfg["parity_tiling"] or cfg.get("memory_efficient"):

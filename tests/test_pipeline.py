@@ -595,6 +595,40 @@ def test_streamed_final_matches_standard_chain(tmp_path, tiny_ckpt,
     assert float(psnr(out_s, out_n)) > 35.0
 
 
+def test_streamed_final_engages_when_diffusion_size_capped(tmp_path,
+                                                           tiny_ckpt,
+                                                           test_image):
+    """use_diffusion=True with the input over diffusion_max_megapixels: the
+    branch is a logged skip, ESRGAN is the sole upscaler, and the streamed
+    tail must engage (round-5: on the TPU overlay's 0.27 MP cap every
+    iteration after the first is capped out, so the full pipeline's final
+    iteration is eligible — previously the bare use_diffusion veto forced
+    the unstreamed finalize/d2h path, 12.7 s of serialized D2H in the
+    config-5 artifact)."""
+    img = test_image[:96, :96]
+    kw = dict(adaptive_sharpening=True, data_parallel="off",
+              max_tile_size=48, tile_halo=8, use_diffusion=True,
+              diffusion_max_megapixels=0.005)  # 96x96 = 0.0092 MP > cap
+    pipe_s = _mk_pipeline(tmp_path, tiny_ckpt, streamed_output=True, **kw)
+    pipe_s.models["diffusion"] = object()  # never touched: cap precedes use
+    out_s = pipe_s.enhance_array(img)
+    assert "esrgan+post/streamed" in pipe_s.timer.report()
+    pipe_n = _mk_pipeline(tmp_path, tiny_ckpt, streamed_output=False, **kw)
+    pipe_n.models["diffusion"] = object()
+    out_n = pipe_n.enhance_array(img)
+    assert out_s.shape == out_n.shape == (384, 384, 3)
+    m = 8 * 4  # halo * scale border band
+    np.testing.assert_array_equal(out_s[m:-m, m:-m], out_n[m:-m, m:-m])
+    # and when the input is UNDER the cap the veto must hold (diffusion
+    # would run): streamed tail stays off
+    pipe_v = _mk_pipeline(tmp_path, tiny_ckpt, streamed_output=True,
+                          adaptive_sharpening=True, data_parallel="off",
+                          max_tile_size=48, tile_halo=8, use_diffusion=True,
+                          diffusion_max_megapixels=1.0)
+    pipe_v.models["diffusion"] = object()
+    assert not pipe_v._stream_final_ok(0, 1, img)
+
+
 def test_streamed_final_respects_cancel(tmp_path, tiny_ckpt, test_image):
     from neural_enhanced_super_resolution_tpu.pipeline import (
         EnhancementCancelled)
